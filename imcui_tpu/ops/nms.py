@@ -1,0 +1,153 @@
+"""Keypoint detection ops: window NMS, border masking, fixed-k selection.
+
+TPU-first design notes:
+- NMS is expressed as ``lax.reduce_window`` max-pooling — a dense, regular
+  stencil the VPU executes at full rate; there is no data-dependent loop.
+- Keypoint selection returns **fixed-shape** (k, 2) arrays + a validity
+  mask, replacing the reference's dynamic keypoint counts
+  (reference contract: imcui/hloc/extractors/superpoint.py:33-57 →
+  {keypoints, scores} with dynamic N).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def max_pool_2d(x, radius):
+    """Max over a (2r+1)² window, stride 1, same padding. x: (..., H, W)."""
+    k = 2 * radius + 1
+    ndim = x.ndim
+    dims = (1,) * (ndim - 2) + (k, k)
+    strides = (1,) * ndim
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, dims, strides, padding="SAME"
+    )
+
+
+def simple_nms(scores, radius, iterations=2):
+    """Fast iterative non-maximum suppression (SuperPoint-style).
+
+    Keeps a score only where it equals the local window max; two suppression
+    rounds recover maxima adjacent to suppressed regions. Equivalent in
+    behavior to the torch version used by the reference's SuperPoint wrapper
+    (reference: imcui/hloc/extractors/superpoint.py — nms_radius conf).
+
+    scores: (..., H, W) → same shape, suppressed scores (zeros elsewhere).
+    """
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == max_pool_2d(scores, radius)
+    for _ in range(iterations):
+        supp_mask = max_pool_2d(max_mask.astype(scores.dtype), radius) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == max_pool_2d(supp_scores, radius)
+        max_mask = max_mask | (new_max_mask & (~supp_mask))
+    return jnp.where(max_mask, scores, zeros)
+
+
+def border_mask(h, w, border, valid_wh=None, dtype=jnp.bool_):
+    """(H, W) mask that is False within ``border`` px of the edge and beyond
+    the valid region of a padded canvas (replaces the reference's
+    remove_borders; the valid_wh part supports our shape bucketing)."""
+    ys = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    if valid_wh is None:
+        vw, vh = w, h
+    else:
+        vw, vh = valid_wh[0], valid_wh[1]
+    m = (
+        (ys >= border)
+        & (xs >= border)
+        & (ys < vh - border)
+        & (xs < vw - border)
+    )
+    return m.astype(dtype)
+
+
+def select_topk_keypoints(scores, k, threshold=0.0):
+    """Fixed-k keypoint selection from a (H, W) score map.
+
+    Returns:
+      kpts: (k, 2) float32 — xy coordinates (x = col, y = row)
+      kscores: (k,) float32 — scores (0 where invalid)
+      mask: (k,) bool — score > threshold (pad entries are False)
+
+    Scores must already be NMS'd/border-masked. ``lax.top_k`` over the
+    flattened map is a single fused XLA op — no host round-trip.
+    """
+    h, w = scores.shape[-2:]
+    flat = scores.reshape(-1)
+    kscores, idx = lax.top_k(flat, k)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    kpts = jnp.stack([xs, ys], -1)
+    mask = kscores > threshold
+    kscores = jnp.where(mask, kscores, 0.0)
+    kpts = jnp.where(mask[:, None], kpts, 0.0)
+    return kpts, kscores, mask
+
+
+def soft_argmax_refinement(kpts, scores, radius=2):
+    """Sub-pixel refinement: soft-argmax over a (2r+1)² patch around each
+    keypoint. Gather-based; static patch size. kpts: (k, 2) xy."""
+    h, w = scores.shape[-2:]
+    win = 2 * radius + 1
+    dy = lax.broadcasted_iota(jnp.int32, (win, win), 0) - radius
+    dx = lax.broadcasted_iota(jnp.int32, (win, win), 1) - radius
+    ix = jnp.clip(kpts[:, 0].astype(jnp.int32)[:, None, None] + dx[None], 0, w - 1)
+    iy = jnp.clip(kpts[:, 1].astype(jnp.int32)[:, None, None] + dy[None], 0, h - 1)
+    patches = scores[iy, ix]  # (k, win, win)
+    weights = patches / jnp.maximum(patches.sum((-1, -2), keepdims=True), 1e-8)
+    off_x = (weights * dx[None]).sum((-1, -2))
+    off_y = (weights * dy[None]).sum((-1, -2))
+    return kpts + jnp.stack([off_x, off_y], -1)
+
+
+def sample_descriptors(kpts, desc_map, s=8):
+    """Bilinear descriptor sampling at keypoint locations.
+
+    Matches torch ``grid_sample(..., align_corners=True)`` with SuperPoint's
+    coordinate normalisation: descriptors laid out on the s-strided grid
+    (reference contract: imcui/hloc/extractors/superpoint.py:16-30 fixed
+    sampling option).
+
+    kpts: (k, 2) xy in image pixels; desc_map: (C, Hc, Wc) → (C, k) L2-norm'd.
+    """
+    c, hc, wc = desc_map.shape
+    # map image coords → [-1, 1] over the descriptor grid, then to grid px
+    kp = kpts - s / 2 + 0.5
+    kp = kp / jnp.array([wc * s - s / 2 - 0.5, hc * s - s / 2 - 0.5])
+    kp = kp * 2 - 1  # [-1, 1]
+    # align_corners=True: [-1,1] → [0, size-1]
+    gx = (kp[:, 0] + 1.0) * 0.5 * (wc - 1)
+    gy = (kp[:, 1] + 1.0) * 0.5 * (hc - 1)
+
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, wc - 1)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, hc - 1)
+    x1 = jnp.clip(x0 + 1, 0, wc - 1)
+    y1 = jnp.clip(y0 + 1, 0, hc - 1)
+    wx = jnp.clip(gx - x0, 0.0, 1.0)
+    wy = jnp.clip(gy - y0, 0.0, 1.0)
+
+    d00 = desc_map[:, y0, x0]
+    d01 = desc_map[:, y0, x1]
+    d10 = desc_map[:, y1, x0]
+    d11 = desc_map[:, y1, x1]
+    desc = (
+        d00 * ((1 - wx) * (1 - wy))
+        + d01 * (wx * (1 - wy))
+        + d10 * ((1 - wx) * wy)
+        + d11 * (wx * wy)
+    )
+    norm = jnp.linalg.norm(desc, axis=0, keepdims=True)
+    return desc / jnp.maximum(norm, 1e-8)
+
+
+def depth_to_space(x, block):
+    """(C·b², H, W) → (C, H·b, W·b) pixel-shuffle (SuperPoint detector head
+    cell-to-pixel unfold)."""
+    cbb, h, w = x.shape
+    c = cbb // (block * block)
+    x = x.reshape(c, block, block, h, w)
+    x = x.transpose(0, 3, 1, 4, 2)  # c, h, bh, w, bw
+    return x.reshape(c, h * block, w * block)

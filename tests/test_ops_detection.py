@@ -1,0 +1,84 @@
+"""Unit tests for detection ops: NMS, top-k selection, descriptor sampling."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from imcui_tpu.ops import nms
+
+
+def test_simple_nms_isolated_maxima():
+    scores = np.zeros((32, 32), np.float32)
+    scores[5, 5] = 1.0
+    scores[5, 7] = 0.8  # within radius 2 of the max → suppressed
+    scores[20, 20] = 0.9
+    out = np.asarray(nms.simple_nms(jnp.asarray(scores), radius=2))
+    assert out[5, 5] == 1.0
+    assert out[5, 7] == 0.0
+    assert out[20, 20] == 0.9
+
+
+def test_simple_nms_keeps_far_points():
+    scores = np.zeros((64, 64), np.float32)
+    pts = [(8, 8), (8, 40), (40, 8), (40, 40)]
+    for i, (y, x) in enumerate(pts):
+        scores[y, x] = 0.5 + 0.1 * i
+    out = np.asarray(nms.simple_nms(jnp.asarray(scores), radius=4))
+    assert (out > 0).sum() == 4
+
+
+def test_border_mask_valid_region():
+    m = np.asarray(nms.border_mask(16, 16, border=2, valid_wh=(12, 10)))
+    assert m[1, 5] == 0  # top border
+    assert m[5, 1] == 0  # left border
+    assert m[5, 5] == 1
+    assert m[9, 5] == 0  # beyond valid height (10) - border
+    assert m[5, 11] == 0  # beyond valid width (12) - border
+
+
+def test_select_topk_fixed_shape():
+    scores = np.zeros((16, 16), np.float32)
+    scores[3, 4] = 0.9
+    scores[10, 2] = 0.7
+    kpts, ks, mask = nms.select_topk_keypoints(jnp.asarray(scores), k=8,
+                                               threshold=0.1)
+    kpts, ks, mask = map(np.asarray, (kpts, ks, mask))
+    assert kpts.shape == (8, 2) and ks.shape == (8,) and mask.shape == (8,)
+    assert mask.sum() == 2
+    assert tuple(kpts[0]) == (4.0, 3.0)  # xy order
+    assert tuple(kpts[1]) == (2.0, 10.0)
+    assert not mask[2:].any()
+
+
+def test_sample_descriptors_constant_map():
+    desc = np.ones((4, 8, 8), np.float32)
+    desc[1] = 2.0
+    kpts = jnp.asarray([[10.0, 12.0], [31.0, 17.0]])
+    out = np.asarray(nms.sample_descriptors(kpts, jnp.asarray(desc), s=8))
+    assert out.shape == (4, 2)
+    # constant map → L2-normalised constant vector everywhere
+    expected = np.array([1.0, 2.0, 1.0, 1.0])
+    expected = expected / np.linalg.norm(expected)
+    np.testing.assert_allclose(out[:, 0], expected, atol=1e-5)
+    np.testing.assert_allclose(out[:, 1], expected, atol=1e-5)
+
+
+def test_depth_to_space_matches_numpy():
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 3, 5).astype(np.float32)  # 64 = 8x8 cells
+    out = np.asarray(nms.depth_to_space(jnp.asarray(x), 8))
+    assert out.shape == (1, 24, 40)
+    # channel c maps to offset (c // 8, c % 8)
+    for c in [0, 7, 9, 63]:
+        dy, dx = c // 8, c % 8
+        np.testing.assert_allclose(out[0, dy::8, dx::8], x[c], atol=1e-6)
+
+
+def test_soft_argmax_refinement_shifts_toward_mass():
+    scores = np.zeros((32, 32), np.float32)
+    scores[10, 10] = 1.0
+    scores[10, 11] = 1.0  # equal mass to the right → offset +0.5 in x
+    kpts = jnp.asarray([[10.0, 10.0]])
+    ref = np.asarray(nms.soft_argmax_refinement(kpts, jnp.asarray(scores),
+                                                radius=2))
+    assert 0.3 < ref[0, 0] - 10.0 < 0.7
+    assert abs(ref[0, 1] - 10.0) < 1e-5
