@@ -1,0 +1,188 @@
+"""SuperPoint keypoint detector + descriptor, native JAX/XLA.
+
+Re-implementation of the architecture wrapped by the reference
+(reference wrapper: imcui/hloc/extractors/superpoint.py:33-57; the network
+itself lives in the SuperGluePretrainedNetwork submodule — empty in the
+snapshot, so this is built from the published architecture: VGG-style
+shared encoder, 65-channel cell softmax detector head with depth-to-space,
+256-d descriptor head with bilinear sampling at keypoints).
+
+TPU-first differences from the torch original:
+- NHWC activations; convs compiled straight onto the MXU in one fused
+  XLA program (trunk + both heads).
+- Fixed-k output: ``max_keypoints`` slots with a validity mask instead of
+  dynamic keypoint counts (``keypoint_threshold`` becomes the mask rule).
+- The whole forward — trunk, softmax-NMS, top-k, descriptor sampling —
+  is a single jit; nothing leaves the device.
+
+Weight conversion: torch state_dict keys conv{1a..4b,Pa,Pb,Da,Db} map 1:1
+onto the param tree (utils/weights.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import nms as nms_ops
+from ...utils.base_model import BaseModel
+from ...utils.weights import (assert_tree_matches, download_checkpoint,
+                              load_state_dict, state_dict_to_tree)
+from ..layers import conv2d, init_conv, max_pool, relu
+
+CONV_SPECS = [
+    # name, cin, cout, kernel
+    ("conv1a", 1, 64, 3), ("conv1b", 64, 64, 3),
+    ("conv2a", 64, 64, 3), ("conv2b", 64, 64, 3),
+    ("conv3a", 64, 128, 3), ("conv3b", 128, 128, 3),
+    ("conv4a", 128, 128, 3), ("conv4b", 128, 128, 3),
+    ("convPa", 128, 256, 3), ("convPb", 256, 65, 1),
+    ("convDa", 128, 256, 3), ("convDb", 256, 256, 1),
+]
+
+
+def init_params(rng):
+    params = {}
+    keys = jax.random.split(rng, len(CONV_SPECS))
+    for key, (name, cin, cout, k) in zip(keys, CONV_SPECS):
+        params[name] = init_conv(key, k, k, cin, cout)
+    return params
+
+
+def load_params(conf):
+    """Try pretrained weights (HF hub), else deterministic random init."""
+    init = init_params(jax.random.PRNGKey(0))
+    path = download_checkpoint("superpoint_v1.pth")
+    if path is None:
+        return init, {"pretrained": False}
+    sd = load_state_dict(path)
+    params = state_dict_to_tree(sd, [(r"conv", "conv")])
+    assert_tree_matches(params, init, "superpoint")
+    return params, {"pretrained": True}
+
+
+def backbone(params, x):
+    """Shared VGG encoder. x: (B, H, W, 1) → (B, H/8, W/8, 128)."""
+    x = relu(conv2d(params["conv1a"], x))
+    x = relu(conv2d(params["conv1b"], x))
+    x = max_pool(x)
+    x = relu(conv2d(params["conv2a"], x))
+    x = relu(conv2d(params["conv2b"], x))
+    x = max_pool(x)
+    x = relu(conv2d(params["conv3a"], x))
+    x = relu(conv2d(params["conv3b"], x))
+    x = max_pool(x)
+    x = relu(conv2d(params["conv4a"], x))
+    x = relu(conv2d(params["conv4b"], x))
+    return x
+
+
+def dense_scores(params, feats):
+    """Detector head → full-resolution heatmap (B, H, W)."""
+    cpa = relu(conv2d(params["convPa"], feats))
+    logits = conv2d(params["convPb"], cpa)  # (B, Hc, Wc, 65)
+    probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # drop dustbin
+    # (B, Hc, Wc, 64) → (B, H, W)
+    def d2s(p):  # (Hc, Wc, 64)
+        return nms_ops.depth_to_space(p.transpose(2, 0, 1), 8)[0]
+
+    return jax.vmap(d2s)(probs)
+
+
+def dense_descriptors(params, feats):
+    """Descriptor head → (B, Hc, Wc, 256), not yet normalised per-keypoint."""
+    cda = relu(conv2d(params["convDa"], feats))
+    desc = conv2d(params["convDb"], cda)
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    return desc / jnp.maximum(norm, 1e-8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nms_radius", "max_keypoints", "keypoint_threshold", "remove_borders"
+    ),
+)
+def apply(
+    params,
+    image,
+    valid_wh,
+    nms_radius=4,
+    max_keypoints=1024,
+    keypoint_threshold=0.005,
+    remove_borders=4,
+):
+    """Full SuperPoint forward.
+
+    image: (B, 1, H, W) float32 in [0,1] (reference layout, zero-padded to
+    the bucket); valid_wh: (B, 2) int valid region per image.
+    Returns keypoints (B, N, 2) xy, scores (B, N), descriptors (B, 256, N),
+    mask (B, N) — the reference output contract (SURVEY §2.6) + mask.
+    """
+    x = image.transpose(0, 2, 3, 1)  # NCHW → NHWC
+    feats = backbone(params, x)
+    heat = dense_scores(params, feats)  # (B, H, W)
+    desc_map = dense_descriptors(params, feats)  # (B, Hc, Wc, 256)
+
+    h, w = heat.shape[-2:]
+
+    def per_image(scores, dmap, vwh):
+        scores = nms_ops.simple_nms(scores, nms_radius)
+        scores = scores * nms_ops.border_mask(
+            h, w, remove_borders, valid_wh=vwh, dtype=scores.dtype
+        )
+        kpts, kscores, mask = nms_ops.select_topk_keypoints(
+            scores, max_keypoints, keypoint_threshold
+        )
+        desc = nms_ops.sample_descriptors(
+            kpts, dmap.transpose(2, 0, 1), s=8
+        )  # (256, N)
+        return kpts, kscores, desc, mask
+
+    kpts, kscores, desc, mask = jax.vmap(per_image)(heat, desc_map, valid_wh)
+    return {
+        "keypoints": kpts,
+        "scores": kscores,
+        "descriptors": desc,
+        "mask": mask,
+    }
+
+
+class SuperPoint(BaseModel):
+    """BaseModel wrapper (reference contract:
+    imcui/hloc/extractors/superpoint.py:33-57)."""
+
+    default_conf = {
+        "nms_radius": 4,
+        "keypoint_threshold": 0.005,
+        "max_keypoints": 1024,
+        "remove_borders": 4,
+        "fix_sampling": False,  # our sampling is always the fixed variant
+    }
+    required_inputs = ["image"]
+
+    def _init(self, conf, rng):
+        self.params, self.meta = load_params(conf)
+        # reference uses -1 for "keep all"; fixed shapes need a cap
+        if conf["max_keypoints"] in (-1, None):
+            conf["max_keypoints"] = 4096
+
+    def _forward(self, data):
+        image = jnp.asarray(data["image"], jnp.float32)
+        b = image.shape[0]
+        if "valid_wh" in data:
+            valid_wh = jnp.asarray(data["valid_wh"], jnp.int32)
+        else:
+            valid_wh = jnp.tile(
+                jnp.asarray([[image.shape[3], image.shape[2]]], jnp.int32),
+                (b, 1),
+            )
+        return apply(
+            self.params,
+            image,
+            valid_wh,
+            nms_radius=self.conf["nms_radius"],
+            max_keypoints=self.conf["max_keypoints"],
+            keypoint_threshold=self.conf["keypoint_threshold"],
+            remove_borders=self.conf["remove_borders"],
+        )

@@ -1,0 +1,109 @@
+"""Functional NN building blocks with explicit param pytrees.
+
+Design: every layer is a pure function ``layer(params, x)`` where params is a
+plain nested dict of jnp arrays whose keys mirror the torch ``state_dict``
+naming of the corresponding upstream model. That makes torch→JAX weight
+conversion mechanical (see utils/weights.py) while keeping the compute path
+100% JAX/XLA.
+
+Layout: activations are NHWC (TPU-native; XLA tiles the C=128 lane dim onto
+the MXU/VPU), conv kernels are HWIO. The (B, C, H, W) reference convention
+is converted at model entry only.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv2d(p, x, stride=1, padding="SAME", dilation=1):
+    """2-D convolution. p: {"w": (kh, kw, cin, cout), "b": (cout,)?};
+    x: (B, H, W, C)."""
+    s = (stride, stride) if isinstance(stride, int) else stride
+    d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    out = lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=s,
+        padding=padding,
+        rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p and p["b"] is not None:
+        out = out + p["b"]
+    return out
+
+
+def linear(p, x):
+    """p: {"w": (din, dout), "b": (dout,)?}; x: (..., din)."""
+    out = x @ p["w"]
+    if "b" in p and p["b"] is not None:
+        out = out + p["b"]
+    return out
+
+
+def layer_norm(p, x, eps=1e-5):
+    """p: {"scale": (d,), "bias": (d,)}; normalise over the last dim."""
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    out = (x - mean) * lax.rsqrt(var + eps)
+    return out * p["scale"] + p["bias"]
+
+
+def batch_norm_inference(p, x, eps=1e-5):
+    """Inference-mode batchnorm over channel-last x.
+    p: {"scale","bias","mean","var"} each (C,)."""
+    inv = lax.rsqrt(p["var"] + eps)
+    return (x - p["mean"]) * inv * p["scale"] + p["bias"]
+
+
+def max_pool(x, window=2, stride=2):
+    """x: (B, H, W, C)."""
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def gelu(x):
+    return jax.nn.gelu(x)
+
+
+def l2_normalize(x, axis=-1, eps=1e-8):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+# ---------------------------------------------------------------------------
+# initialisers (used when pretrained weights are unavailable)
+# ---------------------------------------------------------------------------
+
+def init_conv(key, kh, kw, cin, cout, bias=True):
+    k1, _ = jax.random.split(key)
+    fan_in = kh * kw * cin
+    w = jax.random.normal(k1, (kh, kw, cin, cout)) * jnp.sqrt(2.0 / fan_in)
+    p = {"w": w.astype(jnp.float32)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def init_linear(key, din, dout, bias=True):
+    k1, _ = jax.random.split(key)
+    w = jax.random.normal(k1, (din, dout)) * jnp.sqrt(1.0 / din)
+    p = {"w": w.astype(jnp.float32)}
+    if bias:
+        p["b"] = jnp.zeros((dout,), jnp.float32)
+    return p
+
+
+def init_layer_norm(d):
+    return {"scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32)}

@@ -1,0 +1,145 @@
+"""Pretrained-weight acquisition + torch→JAX conversion.
+
+The reference pulls pretrained torch checkpoints from the HF hub repo
+``Realcat/imcui_checkpoints`` (reference: imcui/hloc/utils/base_model.py:37-43,
+imcui/hloc/__init__.py:65-66). We keep that source but convert each
+``state_dict`` into the nested JAX param pytrees our functional models use.
+
+Offline environments (no egress) fall back to deterministic random init so
+every pipeline stays runnable end-to-end; ``params_meta`` records which path
+was taken so benchmarks can annotate accuracy validity.
+"""
+
+import re
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import MODEL_REPO_ID, logger
+
+_CACHE_DIR = Path.home() / ".cache" / "imcui_tpu"
+
+
+def download_checkpoint(filename, repo_id=MODEL_REPO_ID):
+    """Try to fetch a checkpoint from the HF hub; None if offline/missing.
+
+    After the first network failure the process flips to HF offline mode so
+    later models fail fast instead of re-running the hub's retry loop.
+    """
+    import os
+
+    try:
+        from huggingface_hub import hf_hub_download
+
+        return Path(
+            hf_hub_download(
+                repo_id=repo_id, filename=filename,
+                cache_dir=str(_CACHE_DIR),
+                etag_timeout=3,
+            )
+        )
+    except Exception as e:  # offline, 404, ...
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        logger.warning(
+            f"Could not download {filename} from {repo_id} ({type(e).__name__})."
+            " Falling back to random initialisation."
+        )
+        return None
+
+
+def load_state_dict(path):
+    """Load a torch checkpoint into a flat {name: np.ndarray} dict."""
+    import torch
+
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("state_dict", "model_state_dict", "model"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                ckpt = ckpt[key]
+                break
+    return {k: v.detach().cpu().numpy() for k, v in ckpt.items()
+            if hasattr(v, "detach")}
+
+
+def conv_w(t):
+    """torch conv weight (cout, cin, kh, kw) → HWIO (kh, kw, cin, cout)."""
+    return jnp.asarray(np.transpose(t, (2, 3, 1, 0)))
+
+
+def linear_w(t):
+    """torch linear weight (dout, din) → (din, dout)."""
+    return jnp.asarray(np.transpose(t))
+
+
+def vec(t):
+    return jnp.asarray(t)
+
+
+def state_dict_to_tree(sd, rules):
+    """Convert a flat torch state_dict into a nested param tree.
+
+    ``rules``: list of (regex, kind) where kind ∈ {conv, linear, vec}.
+    The first matching rule decides the transform; the torch dotted path
+    becomes the nested dict path with the trailing ``weight``/``bias``
+    mapped to ``w``/``b`` (or scale/bias/mean/var for norm layers).
+    """
+    tree = {}
+    norm_map = {
+        "weight": "scale", "bias": "bias",
+        "running_mean": "mean", "running_var": "var",
+    }
+    for name, arr in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        kind = None
+        for pattern, k in rules:
+            if re.match(pattern, name):
+                kind = k
+                break
+        if kind is None:
+            continue
+        parts = name.split(".")
+        leaf = parts[-1]
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if kind == "conv":
+            node["w" if leaf == "weight" else "b"] = (
+                conv_w(arr) if leaf == "weight" else vec(arr)
+            )
+        elif kind == "linear":
+            node["w" if leaf == "weight" else "b"] = (
+                linear_w(arr) if leaf == "weight" else vec(arr)
+            )
+        elif kind == "norm":
+            node[norm_map.get(leaf, leaf)] = vec(arr)
+        else:  # raw vector / tensor
+            node[leaf] = vec(arr)
+    return tree
+
+
+def tree_shapes(tree, prefix=""):
+    """Flatten a param tree into {path: shape} for conversion checks."""
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(tree_shapes(v, path))
+        else:
+            out[path] = tuple(v.shape)
+    return out
+
+
+def assert_tree_matches(converted, initialised, name=""):
+    """Check a converted checkpoint covers the model's param tree exactly."""
+    cs, es = tree_shapes(converted), tree_shapes(initialised)
+    missing = set(es) - set(cs)
+    extra = set(cs) - set(es)
+    mismatched = {k for k in set(cs) & set(es) if cs[k] != es[k]}
+    if missing or extra or mismatched:
+        raise ValueError(
+            f"weight conversion mismatch for {name}: missing={sorted(missing)[:5]}"
+            f" extra={sorted(extra)[:5]} shape-mismatch="
+            f"{[(k, cs[k], es[k]) for k in sorted(mismatched)[:5]]}"
+        )
