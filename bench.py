@@ -1,0 +1,84 @@
+"""Headline benchmark: pairs/sec/chip, SuperPoint + LightGlue @1024 kpts.
+
+Runs the fused two-view serving step (extract ×2 → match → on-device
+RANSAC, one XLA program — imcui_tpu/pipeline/two_view.py) at the default
+operating point from BASELINE.md: 1024 px images, 1024 keypoints, 9
+LightGlue layers, 512-hypothesis fundamental RANSAC.
+
+Measurement design (hard-won on the axon tunnel):
+- inputs are generated ON DEVICE inside the jitted step, distinct per
+  iteration — repeated host buffers get short-circuited somewhere in the
+  remote-execution stack and report fantasy numbers (~70× too high), and
+  host→device upload through the dev tunnel measures the tunnel, not the
+  chip;
+- every iteration's outputs are reduced to a scalar that is blocked on at
+  the end, so no work can be elided.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers and is unmeasurable in
+this environment (empty third_party submodules, no GPU, no checkpoint
+egress) — BASELINE.md records an A100 estimate of ~50 pairs/s for the
+sequential torch pipeline at this operating point; vs_baseline is
+value / 50.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_REFERENCE_PAIRS_PER_SEC = 50.0
+
+BATCH = 4
+H = W = 1024
+MAX_KPTS = 1024
+N_LAYERS = 9
+WARMUP = 3
+ITERS = 100
+
+
+def main():
+    from imcui_tpu.pipeline import two_view
+
+    params, meta = two_view.load_pretrained(n_layers=N_LAYERS)
+    valid = jnp.tile(jnp.asarray([[W, H]], jnp.int32), (BATCH, 1))
+
+    @jax.jit
+    def step(params, key):
+        k0, k1, k2 = jax.random.split(key, 3)
+        image0 = jax.random.uniform(k0, (BATCH, 1, H, W), jnp.float32)
+        image1 = jax.random.uniform(k1, (BATCH, 1, H, W), jnp.float32)
+        out = two_view.match_step(
+            params, image0, image1, valid, valid, k2,
+            max_keypoints=MAX_KPTS, n_layers=N_LAYERS,
+            num_hypotheses=512, ransac="fundamental",
+        )
+        return out["matching_scores0"].sum() + out["num_inliers"].sum()
+
+    for i in range(WARMUP):
+        jax.block_until_ready(step(params, jax.random.PRNGKey(10_000 + i)))
+
+    t0 = time.perf_counter()
+    accs = [step(params, jax.random.PRNGKey(i)) for i in range(ITERS)]
+    jax.block_until_ready(accs)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pairs/sec/chip SuperPoint+LightGlue@1024kpts@1024px",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/s",
+                "vs_baseline": round(
+                    pairs_per_sec / A100_REFERENCE_PAIRS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,340 @@
+"""LightGlue attentional matcher, native JAX/XLA.
+
+Re-implementation of the architecture behind the reference wrapper
+(reference: imcui/hloc/matchers/lightglue.py:14-75; the network lives in the
+``lightglue`` package upstream — rebuilt here from the published
+architecture: learnable-Fourier rotary positional encoding, L layers of
+self + bidirectional-cross attention, sigmoid-matchability double-softmax
+assignment head).
+
+TPU-first redesign decisions (SURVEY §7.3):
+- **Static depth.** The torch original exits early per pair when token
+  confidence saturates (``depth_confidence=0.95``) and prunes points
+  (``width_confidence``) — data-dependent control flow that defeats XLA.
+  We compile a fixed ``n_layers`` network; the conf keys are accepted for
+  API parity and ignored (choose a smaller ``n_layers`` preset for speed).
+- **Masked fixed shapes.** Padded keypoint slots carry an additive -inf
+  attention mask and zero mass in the assignment, so one executable serves
+  every keypoint count ≤ the bucket; whole pair-batches go through a
+  single vmapped forward.
+- Self- and cross-attention logits/readout run on the MXU in bf16-friendly
+  einsums; the (N0, N1) cross logits are computed once and softmaxed along
+  both axes (the bidirectional-attention trick from the paper).
+
+Weight conversion: torch state_dict paths (input_proj, posenc.Wr,
+transformers.{i}.self_attn.Wqkv/out_proj/ffn.*, transformers.{i}.cross_attn
+.to_qk/to_v/to_out/ffn.*, log_assignment.{i}.matchability/final_proj) map
+1:1 onto the param tree.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import (NEG_INF, apply_rotary,
+                              learnable_fourier_encoding, mha)
+from ...utils.base_model import BaseModel
+from ...utils.weights import (assert_tree_matches, download_checkpoint,
+                              load_state_dict, state_dict_to_tree)
+from ..layers import gelu, init_layer_norm, init_linear, layer_norm, linear
+
+FEATURE_DIMS = {
+    "superpoint": 256,
+    "disk": 128,
+    "aliked": 128,
+    "sift": 128,
+    "xfeat": 64,
+}
+
+
+def init_ffn(key, dim):
+    k1, k2 = jax.random.split(key)
+    return {
+        "0": init_linear(k1, 2 * dim, 2 * dim),
+        "1": init_layer_norm(2 * dim),
+        "3": init_linear(k2, 2 * dim, dim),
+    }
+
+
+def ffn_apply(p, x, message):
+    h = jnp.concatenate([x, message], -1)
+    h = linear(p["0"], h)
+    h = layer_norm(p["1"], h)
+    h = gelu(h)
+    return linear(p["3"], h)
+
+
+def init_params(rng, conf):
+    dim = conf["descriptor_dim"]
+    n_layers = conf["n_layers"]
+    input_dim = FEATURE_DIMS.get(conf["features"], dim)
+    pos_dim = 2 + (2 if conf.get("add_scale_ori") else 0)
+    head_dim = dim // conf["num_heads"]
+    keys = jax.random.split(rng, 4 + n_layers)
+    params = {
+        "input_proj": init_linear(keys[0], input_dim, dim),
+        "posenc": {
+            "Wr": {"w": jax.random.normal(keys[1], (pos_dim, head_dim // 2))
+                   .astype(jnp.float32)}
+        },
+        "transformers": [],
+        "log_assignment": {
+            "matchability": init_linear(keys[2], dim, 1),
+            "final_proj": init_linear(keys[3], dim, dim),
+        },
+    }
+    for i in range(n_layers):
+        k = jax.random.split(keys[4 + i], 8)
+        params["transformers"].append(
+            {
+                "self_attn": {
+                    "Wqkv": init_linear(k[0], dim, 3 * dim),
+                    "out_proj": init_linear(k[1], dim, dim),
+                    "ffn": init_ffn(k[2], dim),
+                },
+                "cross_attn": {
+                    "to_qk": init_linear(k[3], dim, dim),
+                    "to_v": init_linear(k[4], dim, dim),
+                    "to_out": init_linear(k[5], dim, dim),
+                    "ffn": init_ffn(k[6], dim),
+                },
+            }
+        )
+    return params
+
+
+def load_params(conf):
+    init = init_params(jax.random.PRNGKey(0), conf)
+    path = download_checkpoint(conf.get("model_name", "superpoint_lightglue.pth"))
+    if path is None:
+        return init, {"pretrained": False}
+    sd = load_state_dict(path)
+    # drop adaptive-inference heads (token_confidence) and intermediate
+    # per-layer assignment heads; keep the final one.
+    n_layers = conf["n_layers"]
+    final_key = f"log_assignment.{n_layers - 1}."
+    sd = {
+        (k.replace(final_key, "log_assignment.") if k.startswith(final_key) else k): v
+        for k, v in sd.items()
+        if not k.startswith("token_confidence")
+        and (not k.startswith("log_assignment.") or k.startswith(final_key))
+    }
+    tree = state_dict_to_tree(
+        sd,
+        [
+            (r".*posenc\.Wr", "linear"),
+            (r".*\.ffn\.1\.", "norm"),
+            (r".*", "linear"),
+        ],
+    )
+    # list-ify transformers.{i}
+    layers = tree.get("transformers", {})
+    tree["transformers"] = [layers[str(i)] for i in range(n_layers)]
+    assert_tree_matches(tree, init, "lightglue")
+    return tree, {"pretrained": True}
+
+
+def normalize_keypoints(kpts, size_wh):
+    """Center + scale keypoints into ~[-1, 1] (LightGlue convention)."""
+    size = size_wh.astype(jnp.float32)
+    shift = size / 2.0
+    scale = jnp.max(size, axis=-1, keepdims=True) / 2.0
+    return (kpts - shift[None, :]) / scale[None, :]
+
+
+def _heads(x, num_heads):
+    n, d = x.shape
+    return x.reshape(n, num_heads, d // num_heads).transpose(1, 0, 2)
+
+
+def _merge(x):
+    h, n, dh = x.shape
+    return x.transpose(1, 0, 2).reshape(n, h * dh)
+
+
+def self_block(p, x, enc, mask, num_heads):
+    qkv = linear(p["Wqkv"], x)  # (N, 3D)
+    n, d = x.shape
+    # torch packing: unflatten(-1, (heads, dh, 3)) — qkv triple innermost
+    qkv = qkv.reshape(n, num_heads, d // num_heads, 3)
+    q = qkv[..., 0].transpose(1, 0, 2)  # (H, N, Dh)
+    k = qkv[..., 1].transpose(1, 0, 2)
+    v = qkv[..., 2].transpose(1, 0, 2)
+    q = apply_rotary(q, enc)
+    k = apply_rotary(k, enc)
+    ctx = mha(q, k, v, mask_k=mask)
+    message = linear(p["out_proj"], _merge(ctx))
+    return x + ffn_apply(p["ffn"], x, message)
+
+
+def cross_block(p, x0, x1, mask0, mask1, num_heads):
+    qk0 = _heads(linear(p["to_qk"], x0), num_heads)
+    qk1 = _heads(linear(p["to_qk"], x1), num_heads)
+    v0 = _heads(linear(p["to_v"], x0), num_heads)
+    v1 = _heads(linear(p["to_v"], x1), num_heads)
+    dh = qk0.shape[-1]
+    # one logits tensor, softmaxed along both axes (bidirectional)
+    logits = jnp.einsum(
+        "hnd,hmd->hnm", qk0, qk1, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(dh).astype(jnp.float32)
+    l01 = jnp.where(mask1[None, None, :], logits, NEG_INF)
+    l10 = jnp.where(mask0[None, :, None], logits, NEG_INF)
+    a01 = jax.nn.softmax(l01, axis=-1)
+    a10 = jax.nn.softmax(l10, axis=-2)
+    m0 = jnp.einsum("hnm,hmd->hnd", a01, v1.astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(x0.dtype)
+    m1 = jnp.einsum("hnm,hnd->hmd", a10, v0.astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(x1.dtype)
+    m0 = linear(p["to_out"], _merge(m0))
+    m1 = linear(p["to_out"], _merge(m1))
+    x0 = x0 + ffn_apply(p["ffn"], x0, m0)
+    x1 = x1 + ffn_apply(p["ffn"], x1, m1)
+    return x0, x1
+
+
+def sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1):
+    """LightGlue assignment: log P = logsoftmax_rows + logsoftmax_cols +
+    logsigmoid(z0) + logsigmoid(z1). Returns (N0+1, N1+1) log scores with
+    unmatchable mass on the dustbins."""
+    m, n = sim.shape
+    sim = jnp.where(mask0[:, None] & mask1[None, :], sim, NEG_INF)
+    certainties = jax.nn.log_sigmoid(z0)[:, None] + jax.nn.log_sigmoid(z1)[None, :]
+    scores0 = jax.nn.log_softmax(sim, axis=1)
+    scores1 = jax.nn.log_softmax(sim, axis=0)
+    scores = jnp.full((m + 1, n + 1), 0.0, sim.dtype)
+    scores = scores.at[:m, :n].set(scores0 + scores1 + certainties)
+    scores = scores.at[:m, n].set(jax.nn.log_sigmoid(-z0))
+    scores = scores.at[m, :n].set(jax.nn.log_sigmoid(-z1))
+    return scores
+
+
+def assignment(p, desc0, desc1, mask0, mask1):
+    d = desc0.shape[-1]
+    mdesc0 = linear(p["final_proj"], desc0) / d**0.25
+    mdesc1 = linear(p["final_proj"], desc1) / d**0.25
+    sim = jnp.einsum("nd,md->nm", mdesc0, mdesc1,
+                     preferred_element_type=jnp.float32)
+    z0 = linear(p["matchability"], desc0)[:, 0]
+    z1 = linear(p["matchability"], desc1)[:, 0]
+    return sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
+
+
+def filter_matches(scores, threshold, mask0, mask1):
+    """Mutual-argmax decoding over exp(scores) (LightGlue convention)."""
+    probs = jnp.exp(scores[:-1, :-1])
+    probs = jnp.where(mask0[:, None] & mask1[None, :], probs, 0.0)
+    idx0 = jnp.argmax(probs, axis=1)
+    idx1 = jnp.argmax(probs, axis=0)
+    m = probs.shape[0]
+    mutual = jnp.arange(m) == jnp.take(idx1, idx0)
+    mscores = jnp.max(probs, axis=1)
+    valid = mutual & (mscores > threshold) & mask0
+    matches0 = jnp.where(valid, idx0, -1).astype(jnp.int32)
+    return matches0, jnp.where(valid, mscores, 0.0)
+
+
+def forward_pair(params, kpts0, kpts1, desc0, desc1, mask0, mask1,
+                 size0, size1, conf):
+    """Single-pair forward (unbatched); vmap for pair batches."""
+    num_heads = conf["num_heads"]
+    x0 = linear(params["input_proj"], desc0)
+    x1 = linear(params["input_proj"], desc1)
+    p0 = normalize_keypoints(kpts0[:, :2], size0)
+    p1 = normalize_keypoints(kpts1[:, :2], size1)
+    if conf.get("add_scale_ori"):
+        p0 = jnp.concatenate([p0, kpts0[:, 2:4]], -1)
+        p1 = jnp.concatenate([p1, kpts1[:, 2:4]], -1)
+    enc0 = learnable_fourier_encoding(p0, params["posenc"]["Wr"]["w"])
+    enc1 = learnable_fourier_encoding(p1, params["posenc"]["Wr"]["w"])
+
+    for layer in params["transformers"]:
+        x0 = self_block(layer["self_attn"], x0, enc0, mask0, num_heads)
+        x1 = self_block(layer["self_attn"], x1, enc1, mask1, num_heads)
+        x0, x1 = cross_block(layer["cross_attn"], x0, x1, mask0, mask1,
+                             num_heads)
+
+    scores = assignment(params["log_assignment"], x0, x1, mask0, mask1)
+    matches0, mscores0 = filter_matches(
+        scores, conf["match_threshold"], mask0, mask1
+    )
+    return {"matches0": matches0, "matching_scores0": mscores0}
+
+
+@functools.partial(jax.jit, static_argnames=("conf_key",))
+def _apply_batched(params, kpts0, kpts1, desc0, desc1, mask0, mask1,
+                   size0, size1, conf_key):
+    conf = dict(conf_key)
+    fn = functools.partial(forward_pair, conf=conf)
+    return jax.vmap(
+        lambda a, b, c, d, e, f, g, h: fn(params, a, b, c, d, e, f, g, h)
+    )(kpts0, kpts1, desc0, desc1, mask0, mask1, size0, size1)
+
+
+class LightGlue(BaseModel):
+    """BaseModel wrapper (reference contract:
+    imcui/hloc/matchers/lightglue.py:14-75)."""
+
+    default_conf = {
+        "features": "superpoint",
+        "model_name": "superpoint_lightglue.pth",
+        "descriptor_dim": 256,
+        "num_heads": 4,
+        "n_layers": 9,
+        "match_threshold": 0.2,
+        "add_scale_ori": False,
+        # accepted for reference API parity; static-depth design ignores
+        # them (see module docstring):
+        "depth_confidence": 0.95,
+        "width_confidence": 0.99,
+        "flash": True,
+    }
+    required_inputs = [
+        "keypoints0", "keypoints1", "descriptors0", "descriptors1",
+    ]
+
+    def _init(self, conf, rng):
+        if conf["features"] in ("disk", "aliked", "sift", "xfeat"):
+            conf.setdefault("input_dim", FEATURE_DIMS[conf["features"]])
+        self.params, self.meta = load_params(conf)
+        self._conf_key = tuple(
+            sorted(
+                {
+                    "features": conf["features"],
+                    "num_heads": conf["num_heads"],
+                    "match_threshold": float(conf["match_threshold"]),
+                    "add_scale_ori": bool(conf["add_scale_ori"]),
+                }.items()
+            )
+        )
+
+    def _forward(self, data):
+        kpts0 = jnp.asarray(data["keypoints0"], jnp.float32)
+        kpts1 = jnp.asarray(data["keypoints1"], jnp.float32)
+        desc0 = jnp.asarray(data["descriptors0"], jnp.float32)
+        desc1 = jnp.asarray(data["descriptors1"], jnp.float32)
+        if desc0.shape[1] != kpts0.shape[1]:  # (B, D, N) → (B, N, D)
+            desc0 = desc0.transpose(0, 2, 1)
+        if desc1.shape[1] != kpts1.shape[1]:
+            desc1 = desc1.transpose(0, 2, 1)
+        b, n0 = kpts0.shape[:2]
+        n1 = kpts1.shape[1]
+        mask0 = jnp.asarray(data.get("mask0", jnp.ones((b, n0), bool)), bool)
+        mask1 = jnp.asarray(data.get("mask1", jnp.ones((b, n1), bool)), bool)
+
+        def sizes(key_img, key_wh, kpts):
+            if key_wh in data:
+                return jnp.asarray(data[key_wh], jnp.float32)
+            img = data.get(key_img)
+            if img is not None and hasattr(img, "shape") and len(img.shape) == 4:
+                h, w = img.shape[-2:]
+                return jnp.tile(jnp.asarray([[w, h]], jnp.float32), (b, 1))
+            # fall back to keypoint extent
+            return jnp.max(kpts, axis=1) + 1.0
+
+        size0 = sizes("image0", "size0", kpts0)
+        size1 = sizes("image1", "size1", kpts1)
+        return _apply_batched(
+            self.params, kpts0, kpts1, desc0, desc1, mask0, mask1,
+            size0, size1, self._conf_key,
+        )

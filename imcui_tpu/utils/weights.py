@@ -72,6 +72,11 @@ def linear_w(t):
     return jnp.asarray(np.transpose(t))
 
 
+def conv1d_w(t):
+    """torch 1×1 Conv1d weight (cout, cin, 1) → linear (cin, cout)."""
+    return jnp.asarray(np.transpose(t[..., 0]))
+
+
 def vec(t):
     return jnp.asarray(t)
 
@@ -111,6 +116,10 @@ def state_dict_to_tree(sd, rules):
         elif kind == "linear":
             node["w" if leaf == "weight" else "b"] = (
                 linear_w(arr) if leaf == "weight" else vec(arr)
+            )
+        elif kind == "conv1d":
+            node["w" if leaf == "weight" else "b"] = (
+                conv1d_w(arr) if leaf == "weight" else vec(arr)
             )
         elif kind == "norm":
             node[norm_map.get(leaf, leaf)] = vec(arr)

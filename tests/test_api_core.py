@@ -1,0 +1,82 @@
+"""ImageMatchingAPI integration test (reference pattern:
+tests/test_basic.py:38-109 test_one — pins the CPU-runnable sparse conf)."""
+
+import numpy as np
+import pytest
+
+from imcui_tpu.api.core import ImageMatchingAPI
+from imcui_tpu.utils.image import read_image
+
+IMG0 = "/root/reference/tests/data/02928139_3448003521.jpg"
+IMG1 = "/root/reference/tests/data/17295357_9106075285.jpg"
+
+
+@pytest.fixture(scope="module")
+def sparse_api():
+    conf = {
+        "feature": {
+            "output": "feats-superpoint-n1024-r256",
+            "model": {
+                "name": "superpoint",
+                "nms_radius": 3,
+                "max_keypoints": 256,
+                "keypoint_threshold": 1e-4,
+            },
+            "preprocessing": {
+                "grayscale": True,
+                "resize_max": 256,
+                "dfactor": 8,
+            },
+        },
+        "matcher": {
+            "output": "matches-NN-mutual",
+            "model": {
+                "name": "nearest_neighbor",
+                "do_mutual_check": True,
+            },
+        },
+        "dense": False,
+        "standalone": False,
+    }
+    return ImageMatchingAPI(conf=conf)
+
+
+def test_forward_output_contract(sparse_api, tmp_path):
+    img0 = read_image(IMG0)
+    img1 = read_image(IMG1)
+    pred = sparse_api(img0, img1)
+    assert pred is not None
+    for key in (
+        "image0_orig", "image1_orig", "keypoints0_orig", "keypoints1_orig",
+        "mkeypoints0_orig", "mkeypoints1_orig", "mconf", "mmkeypoints0_orig",
+        "mmkeypoints1_orig", "mmconf", "geom_info",
+    ):
+        assert key in pred, key
+    # self-consistency of ransac output
+    assert len(pred["mmkeypoints0_orig"]) == len(pred["mmconf"])
+    assert len(pred["mmkeypoints0_orig"]) <= len(pred["mkeypoints0_orig"])
+    # visualization path writes 3 PNGs
+    sparse_api.visualize(log_path=tmp_path)
+    pngs = list(tmp_path.glob("*.png"))
+    assert len(pngs) == 3
+
+
+def test_self_pair_full_inliers(sparse_api):
+    """Image matched against itself: all raw matches are identity and the
+    homography RANSAC keeps (nearly) all of them with H ≈ I."""
+    img0 = read_image(IMG0)
+    pred = sparse_api(img0, img0.copy())
+    n_raw = len(pred["mkeypoints0_orig"])
+    n_ransac = len(pred["mmkeypoints0_orig"])
+    assert n_raw > 50
+    assert n_ransac >= 0.95 * n_raw
+    H = np.asarray(pred["H"])
+    np.testing.assert_allclose(H, np.eye(3), atol=0.1)
+
+
+def test_extract_binarize(sparse_api):
+    img0 = read_image(IMG0)
+    pred = sparse_api.extract(img0, max_keypoints=256, binarize=True)
+    assert pred["descriptors"].dtype == np.uint8
+    assert pred["descriptors"].shape[1] == 256  # N x DIM
+    assert "keypoints_orig" in pred
