@@ -19,9 +19,27 @@ Logger setup mirrors the reference package logger
 """
 
 import logging
+import os
 import sys
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: TPU compiles of the conv trunks take
+# minutes at new shapes; caching them on disk makes every later process
+# start warm. Opt out with IMCUI_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("IMCUI_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax
+
+        _cache_dir = os.environ.get(
+            "IMCUI_TPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/imcui_tpu/xla"),
+        )
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
 
 formatter = logging.Formatter(
     fmt="[%(asctime)s %(name)s %(levelname)s] %(message)s",

@@ -78,9 +78,9 @@ def backbone(params, x):
 
 
 def dense_scores(params, feats):
-    """Detector head → full-resolution heatmap (B, H, W)."""
+    """Detector head → full-resolution heatmap (B, H, W), f32."""
     cpa = relu(conv2d(params["convPa"], feats))
-    logits = conv2d(params["convPb"], cpa)  # (B, Hc, Wc, 65)
+    logits = conv2d(params["convPb"], cpa).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # drop dustbin
     # (B, Hc, Wc, 64) → (B, H, W)
     def d2s(p):  # (Hc, Wc, 64)
@@ -90,9 +90,9 @@ def dense_scores(params, feats):
 
 
 def dense_descriptors(params, feats):
-    """Descriptor head → (B, Hc, Wc, 256), not yet normalised per-keypoint."""
+    """Descriptor head → (B, Hc, Wc, 256) f32, L2-normalised per cell."""
     cda = relu(conv2d(params["convDa"], feats))
-    desc = conv2d(params["convDb"], cda)
+    desc = conv2d(params["convDb"], cda).astype(jnp.float32)
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     return desc / jnp.maximum(norm, 1e-8)
 
@@ -100,7 +100,8 @@ def dense_descriptors(params, feats):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nms_radius", "max_keypoints", "keypoint_threshold", "remove_borders"
+        "nms_radius", "max_keypoints", "keypoint_threshold",
+        "remove_borders", "precision",
     ),
 )
 def apply(
@@ -111,6 +112,7 @@ def apply(
     max_keypoints=1024,
     keypoint_threshold=0.005,
     remove_borders=4,
+    precision="bf16",
 ):
     """Full SuperPoint forward.
 
@@ -118,11 +120,21 @@ def apply(
     the bucket); valid_wh: (B, 2) int valid region per image.
     Returns keypoints (B, N, 2) xy, scores (B, N), descriptors (B, 256, N),
     mask (B, N) — the reference output contract (SURVEY §2.6) + mask.
+
+    precision: "bf16" runs the conv trunk + heads in bfloat16 (native MXU
+    rate, ~2-4×); score softmax and descriptor normalisation stay f32.
+    Use "fp32" for golden-parity runs.
     """
     x = image.transpose(0, 2, 3, 1)  # NCHW → NHWC
-    feats = backbone(params, x)
-    heat = dense_scores(params, feats)  # (B, H, W)
-    desc_map = dense_descriptors(params, feats)  # (B, Hc, Wc, 256)
+    cparams = params
+    if precision == "bf16":
+        cparams = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), params
+        )
+        x = x.astype(jnp.bfloat16)
+    feats = backbone(cparams, x)
+    heat = dense_scores(cparams, feats)  # (B, H, W) f32
+    desc_map = dense_descriptors(cparams, feats)  # (B, Hc, Wc, 256) f32
 
     h, w = heat.shape[-2:]
 
@@ -158,6 +170,7 @@ class SuperPoint(BaseModel):
         "max_keypoints": 1024,
         "remove_borders": 4,
         "fix_sampling": False,  # our sampling is always the fixed variant
+        "precision": "bf16",  # TPU-native trunk dtype; "fp32" for parity
     }
     required_inputs = ["image"]
 
@@ -185,4 +198,5 @@ class SuperPoint(BaseModel):
             max_keypoints=self.conf["max_keypoints"],
             keypoint_threshold=self.conf["keypoint_threshold"],
             remove_borders=self.conf["remove_borders"],
+            precision=self.conf["precision"],
         )

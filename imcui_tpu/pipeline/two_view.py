@@ -67,6 +67,7 @@ def match_step(
     ransac="fundamental",
     ransac_threshold=4.0,
     num_hypotheses=512,
+    precision="bf16",
 ):
     """Pair batch in, verified matches out. All shapes static.
 
@@ -83,17 +84,19 @@ def match_step(
         feats = sp.apply(
             params["superpoint"], images, valid,
             nms_radius=nms_radius, max_keypoints=max_keypoints,
-            keypoint_threshold=keypoint_threshold,
+            keypoint_threshold=keypoint_threshold, precision=precision,
         )
         f0 = {k: v[:b] for k, v in feats.items()}
         f1 = {k: v[b:] for k, v in feats.items()}
     else:
         f0 = sp.apply(params["superpoint"], image0, valid_wh0,
                       nms_radius=nms_radius, max_keypoints=max_keypoints,
-                      keypoint_threshold=keypoint_threshold)
+                      keypoint_threshold=keypoint_threshold,
+                      precision=precision)
         f1 = sp.apply(params["superpoint"], image1, valid_wh1,
                       nms_radius=nms_radius, max_keypoints=max_keypoints,
-                      keypoint_threshold=keypoint_threshold)
+                      keypoint_threshold=keypoint_threshold,
+                      precision=precision)
 
     lg_conf = {
         "num_heads": num_heads,
