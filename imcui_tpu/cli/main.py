@@ -1,0 +1,125 @@
+"""Click CLI (reference contract: imcui/cli/main.py:52-143 — same flags
+--server-name/-s, --server-port/-p, --config/-c, --example-data-root/-d,
+--verbose/-v, --version; same config resolution order).
+"""
+
+import sys
+from pathlib import Path
+
+import click
+
+from .. import __version__, logger
+
+
+def get_default_config_path():
+    """Config resolution order (reference parity: imcui/cli/main.py:12-37):
+    cwd app.yaml → cwd config/app.yaml → packaged default."""
+    candidates = [
+        Path.cwd() / "app.yaml",
+        Path.cwd() / "config" / "app.yaml",
+        Path(__file__).parent.parent / "config" / "app.yaml",
+    ]
+    for c in candidates:
+        if c.exists():
+            return c
+    raise FileNotFoundError(
+        "No app.yaml found in cwd, ./config, or the package defaults."
+    )
+
+
+@click.group(invoke_without_command=True)
+@click.option("--server-name", "-s", default=None,
+              help="Server bind address (overrides config).")
+@click.option("--server-port", "-p", default=None, type=int,
+              help="Server port (overrides config).")
+@click.option("--config", "-c", "config_path", default=None,
+              type=click.Path(exists=True),
+              help="Path to an app.yaml config.")
+@click.option("--example-data-root", "-d", default=None,
+              type=click.Path(), help="Root for example image data.")
+@click.option("--verbose", "-v", is_flag=True, help="Verbose logging.")
+@click.version_option(__version__, "--version")
+@click.pass_context
+def cli(ctx, server_name, server_port, config_path, example_data_root,
+        verbose):
+    """imcui-tpu — TPU-native image matching webui/API."""
+    if verbose:
+        import logging
+
+        logger.setLevel(logging.DEBUG)
+    if ctx.invoked_subcommand is not None:
+        ctx.ensure_object(dict)
+        ctx.obj.update(
+            dict(server_name=server_name, server_port=server_port,
+                 config_path=config_path,
+                 example_data_root=example_data_root)
+        )
+        return
+    # default command: launch the webui (reference: `imcui` console script)
+    ctx.invoke(webui)
+
+
+@cli.command()
+@click.pass_context
+def webui(ctx):
+    """Launch the Gradio web UI."""
+    obj = ctx.obj or {}
+    config_path = obj.get("config_path") or get_default_config_path()
+    from ..ui.app_class import ImageMatchingApp
+
+    app = ImageMatchingApp(
+        server_name=obj.get("server_name"),
+        server_port=obj.get("server_port"),
+        config=str(config_path),
+        example_data_root=obj.get("example_data_root"),
+    )
+    app.run()
+
+
+@cli.command()
+@click.option("--host", default=None)
+@click.option("--port", default=None, type=int)
+@click.option("--api-config", default=None, type=click.Path(exists=True))
+def serve(host, port, api_config):
+    """Launch the HTTP matching API."""
+    from ..api.server import main as serve_main
+
+    serve_main(config_path=api_config, host=host, port=port)
+
+
+@cli.command()
+@click.argument("image0", type=click.Path(exists=True))
+@click.argument("image1", type=click.Path(exists=True))
+@click.option("--matcher", default="superpoint+lightglue")
+@click.option("--output", "-o", default=None, type=click.Path())
+def match(image0, image1, matcher, output):
+    """Match two images from the command line."""
+    from ..ui.utils import get_matcher_zoo, load_config, run_matching
+    from ..utils.image import read_image
+
+    config = load_config(get_default_config_path())
+    zoo = get_matcher_zoo(config["matcher_zoo"])
+    pred = run_matching(
+        read_image(image0), read_image(image1), key=matcher,
+        matcher_zoo=zoo,
+    )
+    n_raw = len(pred.get("mkeypoints0_orig", []))
+    n_ransac = len(pred.get("mmkeypoints0_orig", []))
+    click.echo(f"raw matches: {n_raw}, ransac inliers: {n_ransac}")
+    if output:
+        import pickle
+
+        with open(output, "wb") as f:
+            pickle.dump(pred, f)
+        click.echo(f"wrote {output}")
+
+
+def run():
+    try:
+        cli(obj={})
+    except KeyboardInterrupt:
+        sys.exit(130)
+
+
+if __name__ == "__main__":
+    run()

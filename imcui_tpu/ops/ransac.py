@@ -190,29 +190,33 @@ def inv3x3(M):
     return adj / det[..., None, None]
 
 
-def _solve_h9(A, ridge=1e-8):
-    """Solve the minimal DLT system A h ≈ 0 with the gauge h₉ = 1.
+def solve_nullvec_fix_last(A, ridge=1e-8):
+    """Solve the minimal DLT system A h ≈ 0 with the gauge h_last = 1.
 
-    A: (S, m, 9). Normal equations BᵀB x = -Bᵀc solved by unrolled
+    A: (S, m, d). Normal equations BᵀB x = -Bᵀc solved by unrolled
     Gaussian elimination (SPD after Hartley normalisation; 12× faster on
-    TPU than a batched eigh of the 9×9 AᵀA). Degenerate samples yield
+    TPU than a batched eigh of the d×d AᵀA). Degenerate samples yield
     wild models that score ~0 inliers — RANSAC's own filter.
-    Returns (S, 9) with trailing 1.
+    Returns (S, d) with trailing 1.
     """
-    B, c = A[..., :8], A[..., 8]
+    d = A.shape[-1] - 1
+    B, c = A[..., :d], A[..., d]
     M = jnp.einsum("smi,smj->sij", B, B,
                    preferred_element_type=jnp.float32)
-    M = M + ridge * jnp.eye(8, dtype=M.dtype)
+    M = M + ridge * jnp.eye(d, dtype=M.dtype)
     b = -jnp.einsum("smi,sm->si", B, c, preferred_element_type=jnp.float32)
-    aug = jnp.concatenate([M, b[..., None]], -1)  # (S, 8, 9)
-    for k in range(8):
+    aug = jnp.concatenate([M, b[..., None]], -1)  # (S, d, d+1)
+    for k in range(d):
         piv = aug[:, k, k:k + 1]
         piv = jnp.where(jnp.abs(piv) > 1e-12, piv, 1e-12)
         row = aug[:, k] / piv
         aug = aug - aug[:, :, k:k + 1] * row[:, None, :]
         aug = aug.at[:, k].set(row)
-    x = aug[:, :, 8]
+    x = aug[:, :, d]
     return jnp.concatenate([x, jnp.ones_like(x[:, :1])], -1)
+
+
+_solve_h9 = solve_nullvec_fix_last  # internal alias used by the solvers
 
 
 def _normalize_batch(p):
