@@ -1,0 +1,63 @@
+"""LoFTR contract tests (random-init weights)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def loftr():
+    from imcui_tpu.models.matchers.loftr import LoFTR
+
+    return LoFTR({"max_keypoints": 128, "match_threshold": 0.0})
+
+
+def make_pair(rng, h=128, w=128):
+    im0 = rng.rand(1, 1, h, w).astype(np.float32)
+    im1 = rng.rand(1, 1, h, w).astype(np.float32)
+    return {"image0": im0, "image1": im1}
+
+
+def test_contract(loftr, rng):
+    out = loftr(make_pair(rng))
+    k0 = np.asarray(out["keypoints0"])
+    k1 = np.asarray(out["keypoints1"])
+    sc = np.asarray(out["scores"])
+    mask = np.asarray(out["mask"])
+    assert k0.shape == (1, 128, 2) and k1.shape == (1, 128, 2)
+    assert sc.shape == (1, 128) and mask.shape == (1, 128)
+    valid = mask[0]
+    if valid.any():
+        assert (k0[0][valid] >= 0).all()
+        assert (k0[0][valid][:, 0] < 128).all()
+        assert (k1[0][valid][:, 0] < 128 + 4).all()
+        # scores sorted descending on valid prefix
+        s = sc[0][valid]
+        assert (np.diff(s) <= 1e-6).all()
+
+
+def test_self_pair_matches_diagonal(loftr, rng):
+    """Same image both sides → coarse matches must be the identity cells
+    (any weights: dual-softmax of a Gram matrix peaks on the diagonal)."""
+    im = rng.rand(1, 1, 128, 128).astype(np.float32)
+    out = loftr({"image0": im, "image1": im.copy()})
+    mask = np.asarray(out["mask"][0])
+    k0 = np.asarray(out["keypoints0"][0])[mask]
+    k1 = np.asarray(out["keypoints1"][0])[mask]
+    assert mask.sum() > 32
+    # coarse cells must be identical; the (random-weight) fine head may
+    # wiggle kpts1 anywhere inside its 5-cell window (±4 px at stride 2)
+    np.testing.assert_array_less(np.abs(k0 - k1), 4.0 + 1e-6)
+
+
+def test_valid_region_masking(loftr, rng):
+    """Keypoints must stay inside the declared valid region of a padded
+    canvas."""
+    data = make_pair(rng)
+    data["size0"] = np.array([[96, 64]])  # (w, h) valid
+    data["size1"] = np.array([[128, 128]])
+    out = loftr(data)
+    mask = np.asarray(out["mask"][0])
+    if mask.any():
+        k0 = np.asarray(out["keypoints0"][0])[mask]
+        assert (k0[:, 0] < 96).all()
+        assert (k0[:, 1] < 64).all()

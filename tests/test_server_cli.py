@@ -127,8 +127,9 @@ def test_app_config_schema():
     entry = zoo["superpoint+lightglue"]
     assert entry["matcher"]["model"]["name"] == "lightglue"
     assert entry["feature"]["model"]["name"] == "superpoint"
-    # disabled entries are dropped
-    assert "loftr" not in zoo
+    # dense standalone entries resolve without a feature conf
+    assert zoo["loftr"]["dense"] and zoo["loftr"]["standalone"]
+    assert zoo["loftr"]["matcher"]["model"]["name"] == "loftr"
 
 
 def test_app_class_headless():
