@@ -119,6 +119,24 @@ confs = {
             "resize_max": 1600,
         },
     },
+    "dog": {
+        "output": "feats-dog",
+        "model": {"name": "dog", "descriptor": "rootsift",
+                  "max_keypoints": 5000},
+        "preprocessing": {"grayscale": True, "resize_max": 1600},
+    },
+    "dog-hardnet": {
+        "output": "feats-dog-hardnet",
+        "model": {"name": "dog", "descriptor": "hardnet",
+                  "max_keypoints": 5000},
+        "preprocessing": {"grayscale": True, "resize_max": 1600},
+    },
+    "dog-sosnet": {
+        "output": "feats-dog-sosnet",
+        "model": {"name": "dog", "descriptor": "sosnet",
+                  "max_keypoints": 5000},
+        "preprocessing": {"grayscale": True, "resize_max": 1600},
+    },
     # global descriptors for retrieval (reference:
     # configs/extractors.py:366-392)
     "netvlad": {

@@ -311,6 +311,15 @@ class LightGlue(BaseModel):
     def _forward(self, data):
         kpts0 = jnp.asarray(data["keypoints0"], jnp.float32)
         kpts1 = jnp.asarray(data["keypoints1"], jnp.float32)
+        if self.conf["add_scale_ori"]:
+            # append per-keypoint scale + orientation columns (SIFT mode)
+            def with_so(kpts, scales, oris):
+                s = jnp.asarray(scales, jnp.float32)[..., None]
+                o = jnp.asarray(oris, jnp.float32)[..., None]
+                return jnp.concatenate([kpts[..., :2], s, o], -1)
+
+            kpts0 = with_so(kpts0, data["scales0"], data["oris0"])
+            kpts1 = with_so(kpts1, data["scales1"], data["oris1"])
         desc0 = jnp.asarray(data["descriptors0"], jnp.float32)
         desc1 = jnp.asarray(data["descriptors1"], jnp.float32)
         if desc0.shape[1] != kpts0.shape[1]:  # (B, D, N) → (B, N, D)
@@ -330,7 +339,7 @@ class LightGlue(BaseModel):
                 h, w = img.shape[-2:]
                 return jnp.tile(jnp.asarray([[w, h]], jnp.float32), (b, 1))
             # fall back to keypoint extent
-            return jnp.max(kpts, axis=1) + 1.0
+            return jnp.max(kpts[..., :2], axis=1) + 1.0
 
         size0 = sizes("image0", "size0", kpts0)
         size1 = sizes("image1", "size1", kpts1)

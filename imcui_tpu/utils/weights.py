@@ -19,16 +19,31 @@ import numpy as np
 from .. import MODEL_REPO_ID, logger
 
 _CACHE_DIR = Path.home() / ".cache" / "imcui_tpu"
+_OFFLINE = False  # set after the first failed network fetch
 
 
 def download_checkpoint(filename, repo_id=MODEL_REPO_ID):
     """Try to fetch a checkpoint from the HF hub; None if offline/missing.
 
-    After the first network failure the process flips to HF offline mode so
+    After the first network failure the process remembers it is offline so
     later models fail fast instead of re-running the hub's retry loop.
     """
     import os
 
+    global _OFFLINE
+    if _OFFLINE or os.environ.get("HF_HUB_OFFLINE") == "1":
+        # try a cache-only lookup, never the network
+        try:
+            from huggingface_hub import hf_hub_download
+
+            return Path(
+                hf_hub_download(
+                    repo_id=repo_id, filename=filename,
+                    cache_dir=str(_CACHE_DIR), local_files_only=True,
+                )
+            )
+        except Exception:
+            return None
     try:
         from huggingface_hub import hf_hub_download
 
@@ -40,7 +55,7 @@ def download_checkpoint(filename, repo_id=MODEL_REPO_ID):
             )
         )
     except Exception as e:  # offline, 404, ...
-        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        _OFFLINE = True
         logger.warning(
             f"Could not download {filename} from {repo_id} ({type(e).__name__})."
             " Falling back to random initialisation."
