@@ -182,6 +182,38 @@ confs = {
         "max_error": 1,
         "cell_size": 1,
     },
+    "duster": {
+        "output": "matches-duster",
+        "model": {
+            "name": "duster",
+            "weights": "duster_vit_large",
+            "max_keypoints": 2000,
+            "match_threshold": 0.2,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "resize_max": 512,
+            "dfactor": 16,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
+    "mast3r": {
+        "output": "matches-mast3r",
+        "model": {
+            "name": "mast3r",
+            "weights": "mast3r_vit_large",
+            "max_keypoints": 2000,
+            "match_threshold": 0.2,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "resize_max": 512,
+            "dfactor": 16,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
     "xfeat_dense": {
         "output": "matches-xfeat_dense",
         "model": {

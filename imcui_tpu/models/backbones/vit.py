@@ -1,0 +1,133 @@
+"""Vision Transformer building blocks (encoder + CroCo-style decoder).
+
+Used by the pointmap matchers (DUSt3R/MASt3R — reference wrappers:
+imcui/hloc/matchers/duster.py:23-109, mast3r.py:24-96; the networks live in
+the dust3r submodule upstream and are rebuilt here from the published
+CroCo/DUSt3R design: pre-LN ViT encoder shared across views, and a decoder
+whose blocks add cross-attention to the other view's tokens).
+
+All attention is masked-free (dense square token grids) and runs as MXU
+einsums; bf16-friendly.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import (conv2d, gelu, init_conv, init_layer_norm, init_linear,
+                      layer_norm, linear)
+
+
+def init_mlp(key, dim, hidden):
+    k1, k2 = jax.random.split(key)
+    return {"fc1": init_linear(k1, dim, hidden),
+            "fc2": init_linear(k2, hidden, dim)}
+
+
+def mlp_apply(p, x):
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+
+
+def init_attention(key, dim):
+    k1, k2 = jax.random.split(key)
+    return {"qkv": init_linear(k1, dim, 3 * dim),
+            "proj": init_linear(k2, dim, dim)}
+
+
+def attention_apply(p, x, num_heads, context=None):
+    """Self-attention when context is None, else cross-attention
+    (q from x, k/v from context)."""
+    n, d = x.shape
+    dh = d // num_heads
+    if context is None:
+        qkv = linear(p["qkv"], x).reshape(n, 3, num_heads, dh)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    else:
+        m = context.shape[0]
+        wq, wk, wv = jnp.split(p["qkv"]["w"], 3, axis=1)
+        bq, bk, bv = jnp.split(p["qkv"]["b"], 3)
+        q = (x @ wq + bq).reshape(n, num_heads, dh)
+        k = (context @ wk + bk).reshape(m, num_heads, dh)
+        v = (context @ wv + bv).reshape(m, num_heads, dh)
+    q = q.transpose(1, 0, 2)
+    k = k.transpose(1, 0, 2)
+    v = v.transpose(1, 0, 2)
+    logits = jnp.einsum("hnd,hmd->hnm", q, k,
+                        preferred_element_type=jnp.float32) / dh**0.5
+    attn = jax.nn.softmax(logits, -1)
+    out = jnp.einsum("hnm,hmd->hnd", attn, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return linear(p["proj"], out.transpose(1, 0, 2).reshape(n, d))
+
+
+def init_encoder_block(key, dim, mlp_ratio=4):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm1": init_layer_norm(dim),
+        "attn": init_attention(k1, dim),
+        "norm2": init_layer_norm(dim),
+        "mlp": init_mlp(k2, dim, dim * mlp_ratio),
+    }
+
+
+def encoder_block_apply(p, x, num_heads):
+    x = x + attention_apply(p["attn"], layer_norm(p["norm1"], x), num_heads)
+    x = x + mlp_apply(p["mlp"], layer_norm(p["norm2"], x))
+    return x
+
+
+def init_decoder_block(key, dim, mlp_ratio=4):
+    """CroCo decoder block: self-attn + cross-attn + MLP."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "norm1": init_layer_norm(dim),
+        "attn": init_attention(k1, dim),
+        "norm2": init_layer_norm(dim),
+        "cross_attn": init_attention(k2, dim),
+        "norm3": init_layer_norm(dim),
+        "mlp": init_mlp(k3, dim, dim * mlp_ratio),
+        "norm_y": init_layer_norm(dim),
+    }
+
+
+def decoder_block_apply(p, x, y, num_heads):
+    """x attends to itself, then to the other view's tokens y."""
+    x = x + attention_apply(p["attn"], layer_norm(p["norm1"], x), num_heads)
+    x = x + attention_apply(
+        p["cross_attn"], layer_norm(p["norm2"], x), num_heads,
+        context=layer_norm(p["norm_y"], y),
+    )
+    x = x + mlp_apply(p["mlp"], layer_norm(p["norm3"], x))
+    return x
+
+
+def init_patch_embed(key, patch, cin, dim):
+    return {"proj": init_conv(key, patch, patch, cin, dim)}
+
+
+def patch_embed_apply(p, image, patch):
+    """image: (H, W, C) → tokens (H/p · W/p, dim)."""
+    x = conv2d(p["proj"], image[None], stride=patch, padding="VALID")[0]
+    hp, wp, d = x.shape
+    return x.reshape(hp * wp, d), (hp, wp)
+
+
+def sincos_pos_embed(hp, wp, dim):
+    """2-D sin-cos position embedding (DUSt3R uses RoPE in some variants;
+    the CroCo v2 default is 2-D sincos)."""
+    def embed_1d(n, d):
+        pos = jnp.arange(n, dtype=jnp.float32)[:, None]
+        omega = jnp.arange(d // 2, dtype=jnp.float32) / (d // 2)
+        omega = 1.0 / (10000.0 ** omega)
+        out = pos * omega[None]
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], -1)
+
+    ey = embed_1d(hp, dim // 2)  # (hp, dim/2)
+    ex = embed_1d(wp, dim // 2)
+    full = jnp.concatenate(
+        [
+            jnp.repeat(ey[:, None, :], wp, 1),
+            jnp.repeat(ex[None, :, :], hp, 0),
+        ],
+        -1,
+    )
+    return full.reshape(hp * wp, dim)
