@@ -182,6 +182,44 @@ confs = {
         "max_error": 1,
         "cell_size": 1,
     },
+    "roma": {
+        "output": "matches-roma",
+        "model": {
+            "name": "roma",
+            "model_name": "roma_outdoor.pth",
+            "max_keypoints": 2000,
+            "match_threshold": 0.2,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "force_resize": True,
+            "resize_max": 1024,
+            "width": 320,
+            "height": 240,
+            "dfactor": 8,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
+    "dkm": {
+        "output": "matches-dkm",
+        "model": {
+            "name": "dkm",
+            "model_name": "DKMv3_outdoor.pth",
+            "max_keypoints": 2000,
+            "match_threshold": 0.2,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "force_resize": True,
+            "resize_max": 1024,
+            "width": 80,
+            "height": 60,
+            "dfactor": 8,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
     "duster": {
         "output": "matches-duster",
         "model": {
