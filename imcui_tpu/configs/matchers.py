@@ -252,6 +252,22 @@ confs = {
         "max_error": 1,
         "cell_size": 1,
     },
+    "gluestick": {
+        "output": "matches-gluestick",
+        "model": {
+            "name": "gluestick",
+            "max_keypoints": 1000,
+            "max_lines": 300,
+        },
+        "preprocessing": {
+            "grayscale": True,
+            "resize_max": 1024,
+            "dfactor": 8,
+            "force_resize": False,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
     "xfeat_dense": {
         "output": "matches-xfeat_dense",
         "model": {
