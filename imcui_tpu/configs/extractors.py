@@ -96,6 +96,22 @@ confs = {
             "resize_max": 1024,
         },
     },
+    "alike": {
+        "output": "feats-alike-n",
+        "model": {
+            "name": "alike",
+            "model_name": "alike-n",
+            "use_relu": True,
+            "multiscale": False,
+            "max_keypoints": 4096,
+            "detection_threshold": 0.2,
+            "sub_pixel": True,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "resize_max": 1024,
+        },
+    },
     "xfeat": {
         "output": "feats-xfeat-n5000-r1600",
         "model": {

@@ -74,3 +74,16 @@ def test_netvlad_contract(rng):
     sim_same = float(g[0] @ g2[0])
     sim_diff = float(g[0] @ g[1])
     assert sim_same > sim_diff
+
+
+def test_alike_contract(rng):
+    from imcui_tpu.models.extractors.alike import Alike
+
+    model = Alike({"max_keypoints": 128, "detection_threshold": 1e-6})
+    out = model({"image": rng.rand(1, 3, 96, 128).astype(np.float32)})
+    mask = np.asarray(out["mask"][0])
+    assert mask.sum() > 50
+    kp = np.asarray(out["keypoints"][0])[mask]
+    assert (kp[:, 0] < 128).all() and (kp[:, 1] < 96).all()
+    d = np.asarray(out["descriptors"][0])[:, mask]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=0), 1.0, atol=1e-3)
