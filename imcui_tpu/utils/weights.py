@@ -144,11 +144,13 @@ def state_dict_to_tree(sd, rules):
 
 
 def tree_shapes(tree, prefix=""):
-    """Flatten a param tree into {path: shape} for conversion checks."""
+    """Flatten a param tree into {path: shape} for conversion checks.
+    Handles dicts and lists (layer stacks) of subtrees."""
     out = {}
-    for k, v in tree.items():
-        path = f"{prefix}.{k}" if prefix else k
-        if isinstance(v, dict):
+    items = tree.items() if isinstance(tree, dict) else enumerate(tree)
+    for k, v in items:
+        path = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, (dict, list)):
             out.update(tree_shapes(v, path))
         else:
             out[path] = tuple(v.shape)
