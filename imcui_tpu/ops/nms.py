@@ -71,7 +71,8 @@ def border_mask(h, w, border, valid_wh=None, dtype=jnp.bool_):
     return m.astype(dtype)
 
 
-def select_topk_keypoints(scores, k, threshold=0.0, exact=False):
+def select_topk_keypoints(scores, k, threshold=0.0, exact=False,
+                          nms_radius=None):
     """Fixed-k keypoint selection from a (H, W) score map.
 
     Returns:
@@ -79,13 +80,19 @@ def select_topk_keypoints(scores, k, threshold=0.0, exact=False):
       kscores: (k,) float32 — scores (0 where invalid)
       mask: (k,) bool — score > threshold (pad entries are False)
 
-    Scores must already be NMS'd/border-masked. Uses the TPU-native
-    ``lax.approx_max_k`` (recall ≥ 0.99) by default — exact ``top_k`` over
-    H·W ≈ 10⁶ candidates costs ~4 ms/image where approx costs ~0.3 ms, and
-    post-NMS scores have no near-ties that matter. Pass ``exact=True`` for
-    bit-exact selection (golden tests).
+    Scores must already be NMS'd/border-masked. Default: TPU-native
+    ``lax.approx_max_k`` (recall ≥ 0.99); ``exact=True`` runs a full
+    ``top_k`` (golden tests). Passing ``nms_radius >= 3`` opts into an
+    EXACT cell-max reduction (post radius-r NMS, maxima are ≥ r+1 apart so
+    a 4×4 cell holds at most one survivor) — measured SLOWER than
+    approx_max_k on v5e (the (hc,4,wc,4) layout shuffle dominates), so it
+    is only for cases where approx recall is unacceptable but a full sort
+    is too slow.
     """
     h, w = scores.shape[-2:]
+    if nms_radius is not None and nms_radius >= 3 and h % 4 == 0 \
+            and w % 4 == 0:
+        return _select_topk_cellmax(scores, k, threshold)
     flat = scores.reshape(-1)
     if exact:
         kscores, idx = lax.top_k(flat, k)
@@ -93,6 +100,27 @@ def select_topk_keypoints(scores, k, threshold=0.0, exact=False):
         kscores, idx = lax.approx_max_k(flat, k, recall_target=0.99)
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)
+    kpts = jnp.stack([xs, ys], -1)
+    mask = kscores > threshold
+    kscores = jnp.where(mask, kscores, 0.0)
+    kpts = jnp.where(mask[:, None], kpts, 0.0)
+    return kpts, kscores, mask
+
+
+def _select_topk_cellmax(scores, k, threshold):
+    """Exact top-k via 4×4 cell-max reduction (valid post radius≥3 NMS)."""
+    h, w = scores.shape[-2:]
+    hc, wc = h // 4, w // 4
+    cells = scores.reshape(hc, 4, wc, 4).transpose(0, 2, 1, 3)
+    cells = cells.reshape(hc, wc, 16)
+    cell_max = cells.max(-1)
+    cell_arg = jnp.argmax(cells, -1)  # position of the survivor in-cell
+    kscores, idx = lax.top_k(cell_max.reshape(-1), k)
+    cy = idx // wc
+    cx = idx % wc
+    sub = jnp.take(cell_arg.reshape(-1), idx)
+    ys = (cy * 4 + sub // 4).astype(jnp.float32)
+    xs = (cx * 4 + sub % 4).astype(jnp.float32)
     kpts = jnp.stack([xs, ys], -1)
     mask = kscores > threshold
     kscores = jnp.where(mask, kscores, 0.0)
