@@ -1,0 +1,82 @@
+"""ResNet-18/34 backbone (torchvision layout) for the retrieval extractors
+(CosPlace/EigenPlaces — reference: imcui/hloc/extractors/cosplace.py:23,
+eigenplaces.py:32, which pull ResNet trunks from torch.hub)."""
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import batch_norm_inference, conv2d, init_conv, max_pool, relu
+
+
+def init_bn(c):
+    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+
+def init_basic_block(key, cin, cout, stride):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "conv1": init_conv(k1, 3, 3, cin, cout, bias=False),
+        "bn1": init_bn(cout),
+        "conv2": init_conv(k2, 3, 3, cout, cout, bias=False),
+        "bn2": init_bn(cout),
+    }
+    if stride != 1 or cin != cout:
+        p["downsample"] = {
+            "0": init_conv(k3, 1, 1, cin, cout, bias=False),
+            "1": init_bn(cout),
+        }
+    return p
+
+
+def basic_block(p, x, stride):
+    y = relu(batch_norm_inference(p["bn1"],
+                                  conv2d(p["conv1"], x, stride=stride)))
+    y = batch_norm_inference(p["bn2"], conv2d(p["conv2"], y))
+    if "downsample" in p:
+        x = batch_norm_inference(
+            p["downsample"]["1"],
+            conv2d(p["downsample"]["0"], x, stride=stride))
+    return relu(x + y)
+
+
+LAYERS_18 = [(64, 2, 1), (128, 2, 2), (256, 2, 2), (512, 2, 2)]
+
+
+def init_resnet18(rng):
+    keys = jax.random.split(rng, 12)
+    ki = 0
+    params = {
+        "conv1": init_conv(keys[ki], 7, 7, 3, 64, bias=False),
+        "bn1": init_bn(64),
+    }
+    ki += 1
+    cin = 64
+    for li, (cout, blocks, stride) in enumerate(LAYERS_18, start=1):
+        layer = {}
+        for bi in range(blocks):
+            layer[str(bi)] = init_basic_block(
+                keys[ki], cin, cout, stride if bi == 0 else 1)
+            ki += 1
+            cin = cout
+        params[f"layer{li}"] = layer
+    return params
+
+
+def resnet18_apply(params, x):
+    """x: (B, H, W, 3) → (B, H/32, W/32, 512) feature map."""
+    x = relu(batch_norm_inference(
+        params["bn1"], conv2d(params["conv1"], x, stride=2)))
+    x = max_pool(x, window=2, stride=2)  # torchvision uses 3×3 s2 maxpool
+    for li, (cout, blocks, stride) in enumerate(LAYERS_18, start=1):
+        layer = params[f"layer{li}"]
+        for bi in range(blocks):
+            x = basic_block(layer[str(bi)], x,
+                            stride if bi == 0 else 1)
+    return x
+
+
+def gem_pool(x, p=3.0, eps=1e-6):
+    """Generalised-mean pooling over spatial dims. x: (B, H, W, C)."""
+    x = jnp.clip(x, eps, None) ** p
+    return x.mean((1, 2)) ** (1.0 / p)

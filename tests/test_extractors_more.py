@@ -87,3 +87,13 @@ def test_alike_contract(rng):
     assert (kp[:, 0] < 128).all() and (kp[:, 1] < 96).all()
     d = np.asarray(out["descriptors"][0])[:, mask]
     np.testing.assert_allclose(np.linalg.norm(d, axis=0), 1.0, atol=1e-3)
+
+
+def test_cosplace_retrieval_contract(rng):
+    from imcui_tpu.models.extractors.cosplace import CosPlace
+
+    model = CosPlace({})
+    out = model({"image": rng.rand(2, 3, 64, 96).astype(np.float32)})
+    g = np.asarray(out["global_descriptor"])
+    assert g.shape == (2, 2048)
+    np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, atol=1e-4)
