@@ -97,3 +97,15 @@ def test_cosplace_retrieval_contract(rng):
     g = np.asarray(out["global_descriptor"])
     assert g.shape == (2, 2048)
     np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, atol=1e-4)
+
+
+def test_aliked_sddh_contract(rng):
+    from imcui_tpu.models.extractors.aliked import ALIKED
+
+    model = ALIKED({"max_num_keypoints": 128,
+                    "detection_threshold": 1e-6})
+    out = model({"image": rng.rand(1, 3, 96, 128).astype(np.float32)})
+    mask = np.asarray(out["mask"][0])
+    assert mask.sum() > 50
+    d = np.asarray(out["descriptors"][0])[:, mask]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=0), 1.0, atol=1e-3)
