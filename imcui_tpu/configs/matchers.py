@@ -104,6 +104,24 @@ confs = {
             "force_resize": False,
         },
     },
+    "sgmnet": {
+        "output": "matches-sgmnet",
+        "model": {
+            "name": "sgmnet",
+            "seed_top_k": 128,
+            "seed_radius_coe": 0.01,
+            "net_channels": 128,
+            "layer_num": 4,
+            "sinkhorn_iterations": 30,
+            "match_threshold": 0.2,
+        },
+        "preprocessing": {
+            "grayscale": True,
+            "resize_max": 1024,
+            "dfactor": 8,
+            "force_resize": False,
+        },
+    },
     "NN-superpoint": {
         "output": "matches-NN-mutual-dist.7",
         "model": {
@@ -263,6 +281,83 @@ confs = {
             "grayscale": False,
             "force_resize": False,
             "resize_max": 1024,
+            "dfactor": 8,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
+    # ------------------------------------------------------------------
+    # checkpoint variants of implemented architectures (the reference
+    # treats these the same way: one wrapper, different weights —
+    # e.g. minima_lightglue/gim_dkm/dad_roma in configs/matchers.py)
+    # ------------------------------------------------------------------
+    "minima_lightglue": {
+        "output": "matches-minima_lightglue",
+        "model": {
+            "name": "lightglue",
+            "match_threshold": 0.2,
+            "width_confidence": 0.99,
+            "depth_confidence": 0.95,
+            "features": "superpoint",
+            "model_name": "minima_lightglue.pth",
+        },
+        "preprocessing": {
+            "grayscale": True,
+            "resize_max": 1024,
+            "dfactor": 8,
+            "force_resize": False,
+        },
+    },
+    "minima_loftr": {
+        "output": "matches-minima_loftr",
+        "model": {
+            "name": "loftr",
+            "weights": "minima_loftr.ckpt",
+            "max_keypoints": 2000,
+            "match_threshold": 0.2,
+        },
+        "preprocessing": {
+            "grayscale": True,
+            "resize_max": 1024,
+            "dfactor": 8,
+            "force_resize": False,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
+    "minima_roma": {
+        "output": "matches-minima_roma",
+        "model": {
+            "name": "roma",
+            "model_name": "minima_roma.pth",
+            "max_keypoints": 2000,
+            "match_threshold": 0.2,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "force_resize": True,
+            "resize_max": 1024,
+            "width": 320,
+            "height": 240,
+            "dfactor": 8,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
+    "gim(dkm)": {
+        "output": "matches-gim",
+        "model": {
+            "name": "dkm",
+            "model_name": "gim_dkm_100h.ckpt",
+            "max_keypoints": 2000,
+            "match_threshold": 0.2,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "force_resize": True,
+            "resize_max": 1024,
+            "width": 320,
+            "height": 240,
             "dfactor": 8,
         },
         "max_error": 1,
