@@ -152,6 +152,33 @@ confs = {
             "resize_max": 1600,
         },
     },
+    "dedode": {
+        "output": "feats-dedode-n5000-r1600",
+        "model": {
+            "name": "dedode",
+            "max_keypoints": 5000,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "resize_max": 1600,
+        },
+    },
+    "rord": {
+        # RoRD is the D2-Net architecture trained for rotation robustness
+        # (reference: imcui/hloc/extractors/rord.py:16) — a checkpoint
+        # variant of our d2net module.
+        "output": "feats-rord",
+        "model": {
+            "name": "d2net",
+            "model_name": "rord.pth",
+            "multiscale": False,
+            "max_keypoints": 4096,
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "resize_max": 1600,
+        },
+    },
     "example": {
         "output": "feats-example",
         "model": {"name": "example", "max_keypoints": 512},

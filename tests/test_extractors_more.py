@@ -109,3 +109,14 @@ def test_aliked_sddh_contract(rng):
     assert mask.sum() > 50
     d = np.asarray(out["descriptors"][0])[:, mask]
     np.testing.assert_allclose(np.linalg.norm(d, axis=0), 1.0, atol=1e-3)
+
+
+def test_dedode_contract(rng):
+    from imcui_tpu.models.extractors.dedode import DeDoDe
+
+    model = DeDoDe({"max_keypoints": 128})
+    out = model({"image": rng.rand(1, 3, 96, 128).astype(np.float32)})
+    mask = np.asarray(out["mask"][0])
+    assert mask.sum() > 50
+    d = np.asarray(out["descriptors"][0])[:, mask]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=0), 1.0, atol=1e-3)
