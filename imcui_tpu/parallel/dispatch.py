@@ -43,7 +43,7 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, item, timeout=120.0):
+    def submit(self, item, timeout=600.0):
         """Blocking submit; returns the per-item result."""
         p = _Pending(item)
         self._queue.put(p)
