@@ -32,7 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ...ops.attention import (NEG_INF, apply_rotary,
+from ...ops.attention import (NEG_INF, apply_rotary, flash_attention,
                               learnable_fourier_encoding, mha)
 from ...utils.base_model import BaseModel
 from ...utils.weights import (assert_tree_matches, download_checkpoint,
@@ -163,7 +163,9 @@ def self_block(p, x, enc, mask, num_heads):
     v = qkv[..., 2].transpose(1, 0, 2)
     q = apply_rotary(q, enc)
     k = apply_rotary(k, enc)
-    ctx = mha(q, k, v, mask_k=mask)
+    # blockwise Pallas attention on TPU at eligible shapes (N % 256 == 0,
+    # head dim 64/128); transparently falls back to the XLA path elsewhere
+    ctx = flash_attention(q, k, v, mask)
     message = linear(p["out_proj"], _merge(ctx))
     return x + ffn_apply(p["ffn"], x, message)
 

@@ -95,7 +95,7 @@ def _flash_attn_kernel(q_ref, k_ref, v_ref, maskk_ref, o_ref, *, blk_k, n_k, sca
         acc, m_i, l_i = carry
         k = k_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
-        mk = maskk_ref[0, pl.ds(i * blk_k, blk_k)]
+        mk = maskk_ref[0, 0, pl.ds(i * blk_k, blk_k)]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         s = jnp.where(mk[None, :] > 0, s, NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
@@ -125,12 +125,17 @@ def flash_attention(q, k, v, mask_k, blk_q=256, blk_k=256):
 
     h, nq, dh = q.shape
     nk = k.shape[1]
-    if nq % blk_q or nk % blk_k or dh % 128:
+    # engage only where the blockwise form wins: at nk < 2048 the dense
+    # (H, Nq, Nk) logits fit comfortably and XLA's fused softmax is faster
+    # (measured: 15 ms vs 6.7 ms for 9-layer LightGlue at N=1024 under
+    # vmap); at 4096 the kernel is 1.2x faster and avoids the 268 MB
+    # logits round-trip entirely.
+    if nq % blk_q or nk % blk_k or dh % 64 or nk < 2048:
         return mha(q, k, v, mask_k=mask_k)
 
     scale = 1.0 / (dh ** 0.5)
     maskf = jnp.broadcast_to(
-        mask_k.astype(jnp.float32)[None], (h, nk)
+        mask_k.astype(jnp.float32)[None, None], (h, 1, nk)
     )
     grid = (h, nq // blk_q)
     kernel = functools.partial(
@@ -147,7 +152,7 @@ def flash_attention(q, k, v, mask_k, blk_q=256, blk_k=256):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, dh), lambda hh, i: (hh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk), lambda hh, i: (hh, 0),
+            pl.BlockSpec((1, 1, nk), lambda hh, i: (hh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, blk_q, dh), lambda hh, i: (hh, i, 0),
