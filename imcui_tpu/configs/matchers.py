@@ -363,6 +363,23 @@ confs = {
         "max_error": 1,
         "cell_size": 1,
     },
+    "lisrd": {
+        "output": "matches-lisrd",
+        "model": {
+            "name": "lisrd",
+            "model_name": "lisrd_aachen",
+            "max_keypoints": 2048,
+            "detector": "superpoint",
+        },
+        "preprocessing": {
+            "grayscale": False,
+            "resize_max": 1024,
+            "dfactor": 8,
+            "force_resize": False,
+        },
+        "max_error": 1,
+        "cell_size": 1,
+    },
     "gluestick": {
         "output": "matches-gluestick",
         "model": {
