@@ -58,13 +58,18 @@ def read_nvm_model(nvm_path, intrinsics_path, image_ids, camera_ids,
             width=int(width), height=int(height), params=np.array(params),
         )
         cameras[camera_id] = camera
+    return _read_nvm_with_cameras(nvm_path, cameras, image_ids,
+                                  camera_ids, skip_points=skip_points)
 
+
+def _read_nvm_with_cameras(nvm_path, cameras, image_ids, camera_ids,
+                           skip_points=False):
+    """NVM body parse given prebuilt camera records."""
     nvm_f = open(nvm_path, "r")
     line = nvm_f.readline()
     while line == "\n" or line.startswith("NVM_V3"):
         line = nvm_f.readline()
     num_images = int(line)
-    assert num_images == len(cameras), (num_images, len(cameras))
 
     logger.info(f"Reading {num_images} images...")
     image_idx_to_db_image_id = []
@@ -99,8 +104,8 @@ def read_nvm_model(nvm_path, intrinsics_path, image_ids, camera_ids,
                 (int(kp_index), float(kx), float(ky), i)
             )
             db_image_id = image_idx_to_db_image_id[int(img_index)]
-            obs_image_ids.append(db_image_id)
-            point2D_idxs.append(kp_index)
+            obs_image_ids.append(int(db_image_id))
+            point2D_idxs.append(int(kp_index))
 
         point = Point3D(
             id=i, xyz=np.array([x, y, z], float),
@@ -149,18 +154,55 @@ def read_nvm_model(nvm_path, intrinsics_path, image_ids, camera_ids,
     return cameras, images, points3D
 
 
-def main(nvm, intrinsics, database, output, skip_points=False):
-    """Reference parity: imcui/hloc/colmap_from_nvm.py:198-216."""
+def cameras_from_database(database_path, camera_ids_by_name):
+    """Read camera records straight from a COLMAP database (the RobotCar
+    recipe's variant — reference:
+    imcui/hloc/pipelines/RobotCar/colmap_from_nvm.py)."""
+    import numpy as np
+
+    from ..utils.database import blob_to_array
+
+    db = sqlite3.connect(str(database_path))
+    model_names = {0: "SIMPLE_PINHOLE", 1: "PINHOLE", 2: "SIMPLE_RADIAL",
+                   3: "RADIAL", 4: "OPENCV"}
+    cameras = {}
+    for cam_id, model, width, height, params in db.execute(
+        "SELECT camera_id, model, width, height, params FROM cameras;"
+    ):
+        cameras[cam_id] = Camera(
+            id=cam_id, model=model_names.get(model, "SIMPLE_RADIAL"),
+            width=width, height=height,
+            params=blob_to_array(params, np.float64),
+        )
+    db.close()
+    return cameras
+
+
+def main(nvm, intrinsics, database, output=None, skip_points=False):
+    """Reference parity: imcui/hloc/colmap_from_nvm.py:198-216.
+
+    ``intrinsics`` may be None — then camera parameters are read from the
+    COLMAP database itself (the RobotCar variant)."""
+    if output is None:  # 3-arg call convention: (nvm, database, output)
+        nvm, database, output = nvm, intrinsics, database
+        intrinsics = None
     assert Path(nvm).exists(), nvm
-    assert Path(intrinsics).exists(), intrinsics
     assert Path(database).exists(), database
 
     image_ids, camera_ids = recover_database_images_and_ids(database)
 
     logger.info("Reading the NVM model...")
-    model = read_nvm_model(
-        nvm, intrinsics, image_ids, camera_ids, skip_points=skip_points
-    )
+    if intrinsics is not None:
+        assert Path(intrinsics).exists(), intrinsics
+        model = read_nvm_model(
+            nvm, intrinsics, image_ids, camera_ids,
+            skip_points=skip_points
+        )
+    else:
+        cameras = cameras_from_database(database, camera_ids)
+        model = _read_nvm_with_cameras(
+            nvm, cameras, image_ids, camera_ids, skip_points=skip_points
+        )
 
     logger.info("Writing the COLMAP model...")
     output = Path(output)
