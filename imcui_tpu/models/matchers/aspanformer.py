@@ -1,0 +1,245 @@
+"""ASpanFormer detector-free matcher (adaptive-span attention), native JAX.
+
+Reference contract: imcui/hloc/matchers/aspanformer.py:18-60 — standalone
+dense matcher {image0, image1} → {keypoints0, keypoints1, mconf} with
+match_threshold / sinkhorn-style coarse iterations / max_keypoints conf
+keys. The published design replaces LoFTR's uniform global attention with
+a hierarchical scheme: a low-resolution GLOBAL cross-attention pass
+estimates a flow field + uncertainty, and full-resolution cross-attention
+is restricted to LOCAL windows placed by that flow (the "adaptive span"),
+iterating flow → span → attention.
+
+TPU-first redesign: spans are FIXED-SIZE windows gathered around the
+current flow estimate — a static (L, S², d) gather + dense attention that
+maps straight onto the MXU; the flow regresses from the global
+correlation's soft-argmax (no dynamic shapes, no data-dependent span
+sizes; the adaptivity lives in *where* the window sits, which is the part
+that matters for long-range viewpoint change).
+
+Backbone / coarse grid / fine refinement reuse the LoFTR stack
+(models/matchers/loftr.py) — same ResNet-FPN and fine machinery, new
+coarse transformer.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.base_model import BaseModel
+from ...utils.weights import download_checkpoint
+from ..layers import init_linear, linear
+from .loftr import (D_COARSE, backbone_apply, coarse_match, encoder_layer,
+                    fine_match, gather_fine_windows, init_backbone,
+                    init_encoder_layer, init_params as init_loftr_params,
+                    position_encoding)
+
+SPAN = 5          # local attention window (coarse cells), fixed
+GLOBAL_STRIDE = 4  # global pass runs on a 4×-strided coarse grid
+N_ITERS = 2       # flow → span → attention iterations
+
+
+def init_params(rng):
+    keys = jax.random.split(rng, 8)
+    base = init_loftr_params(keys[0], n_coarse_layers=2, n_fine_layers=2)
+    return {
+        **base,
+        "global_layers": [init_encoder_layer(k, D_COARSE)
+                          for k in jax.random.split(keys[1], 2)],
+        "local_layers": [init_encoder_layer(k, D_COARSE)
+                         for k in jax.random.split(keys[2], N_ITERS * 2)],
+        "flow_head": init_linear(keys[3], D_COARSE, 2),
+    }
+
+
+def load_params(conf):
+    init = init_params(jax.random.PRNGKey(0))
+    download_checkpoint("aspanformer/" + conf.get("model_name",
+                                                  "outdoor.ckpt"))
+    return init, {"pretrained": False}  # conversion on availability
+
+
+def _soft_flow(f0, f1, hc, wc, m0, m1):
+    """Global correlation soft-argmax → per-source-cell flow target
+    (float cell coords in image1's coarse grid)."""
+    d = f0.shape[-1]
+    sim = jnp.einsum("ld,sd->ls", f0, f1,
+                     preferred_element_type=jnp.float32) / (d ** 0.5 * 0.1)
+    sim = jnp.where(m1[None, :], sim, -1e9)
+    attn = jax.nn.softmax(sim, -1)
+    gx = (jnp.arange(hc * wc) % wc).astype(jnp.float32)
+    gy = (jnp.arange(hc * wc) // wc).astype(jnp.float32)
+    tx = attn @ gx
+    ty = attn @ gy
+    return jnp.stack([tx, ty], -1)  # (L0, 2)
+
+
+def _gather_span(feat, mask, centers, hc, wc):
+    """Gather SPAN×SPAN windows of (hc·wc, d) tokens around float centers.
+    Returns (L, SPAN², d), (L, SPAN²) mask."""
+    d = feat.shape[-1]
+    fmap = feat.reshape(hc, wc, d)
+    mmap = mask.reshape(hc, wc)
+    r = SPAN // 2
+    cx = jnp.clip(jnp.round(centers[:, 0]).astype(jnp.int32) - r, 0,
+                  wc - SPAN)
+    cy = jnp.clip(jnp.round(centers[:, 1]).astype(jnp.int32) - r, 0,
+                  hc - SPAN)
+
+    def crop(y, x):
+        win = jax.lax.dynamic_slice(fmap, (y, x, 0), (SPAN, SPAN, d))
+        wm = jax.lax.dynamic_slice(mmap, (y, x), (SPAN, SPAN))
+        return win.reshape(SPAN * SPAN, d), wm.reshape(SPAN * SPAN)
+
+    return jax.vmap(crop)(cy, cx)
+
+
+def _local_cross(p, x, spans, span_mask):
+    """Per-token dense attention over its gathered span (L, S², d)."""
+    n, d = x.shape
+    nhead = 8
+    dh = d // nhead
+    q = linear(p["q_proj"], x).reshape(n, 1, nhead, dh)
+    k = linear(p["k_proj"], spans).reshape(n, -1, nhead, dh)
+    v = linear(p["v_proj"], spans).reshape(n, -1, nhead, dh)
+    logits = jnp.einsum("nqhd,nshd->nhqs", q, k,
+                        preferred_element_type=jnp.float32) / dh ** 0.5
+    logits = jnp.where(span_mask[:, None, None, :], logits, -1e9)
+    attn = jax.nn.softmax(logits, -1)
+    msg = jnp.einsum("nhqs,nshd->nqhd", attn, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    msg = linear(p["merge"], msg.reshape(n, d).astype(x.dtype))
+    from ..layers import layer_norm, relu
+    msg = layer_norm(p["norm1"], msg)
+    msg = jnp.concatenate([x, msg], -1)
+    msg = linear(p["mlp"]["2"], relu(linear(p["mlp"]["0"], msg)))
+    return x + layer_norm(p["norm2"], msg)
+
+
+def coarse_transform(params, fc0, fc1, m0, m1, hc, wc):
+    """Hierarchical global + adaptive-span coarse transformer."""
+    # global pass on a strided subgrid (cheap long-range context)
+    sub = slice(None, None, GLOBAL_STRIDE)
+    idx = jnp.arange(hc * wc).reshape(hc, wc)[sub, sub].reshape(-1)
+    for i, layer in enumerate(params["global_layers"]):
+        g0 = jnp.take(fc0, idx, 0)
+        g1 = jnp.take(fc1, idx, 0)
+        gm0 = jnp.take(m0, idx)
+        gm1 = jnp.take(m1, idx)
+        if i % 2 == 0:
+            fc0 = fc0.at[idx].set(encoder_layer(layer, g0, g0,
+                                                mask_src=gm0))
+            fc1 = fc1.at[idx].set(encoder_layer(layer, g1, g1,
+                                                mask_src=gm1))
+        else:
+            fc0 = fc0.at[idx].set(encoder_layer(layer, g0, g1,
+                                                mask_src=gm1))
+            fc1 = fc1.at[idx].set(encoder_layer(layer, g1, g0,
+                                                mask_src=gm0))
+
+    # iterate: flow estimate → adaptive local spans → windowed cross attn
+    for it in range(N_ITERS):
+        flow01 = _soft_flow(fc0, fc1, hc, wc, m0, m1)
+        flow10 = _soft_flow(fc1, fc0, hc, wc, m1, m0)
+        # learned residual correction of the span centers
+        flow01 = flow01 + linear(params["flow_head"], fc0)
+        flow10 = flow10 + linear(params["flow_head"], fc1)
+        s1, sm1 = _gather_span(fc1, m1, flow01, hc, wc)
+        s0, sm0 = _gather_span(fc0, m0, flow10, hc, wc)
+        la, lb = params["local_layers"][2 * it], \
+            params["local_layers"][2 * it + 1]
+        fc0 = _local_cross(la, fc0, s1, sm1)
+        fc1 = _local_cross(lb, fc1, s0, sm0)
+    return fc0, fc1
+
+
+def forward_pair(params, image0, image1, wh0, wh1, conf):
+    featc, featf = backbone_apply(params["backbone"],
+                                  jnp.stack([image0, image1], 0))
+    hc, wc = featc.shape[1:3]
+    pe = position_encoding(hc, wc)
+    fc0 = (featc[0] + pe).reshape(-1, D_COARSE)
+    fc1 = (featc[1] + pe).reshape(-1, D_COARSE)
+
+    def grid_mask(wh):
+        ys = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+        return ((xs < wh[0] // 8) & (ys < wh[1] // 8)).reshape(-1)
+
+    m0 = grid_mask(wh0)
+    m1 = grid_mask(wh1)
+    fc0, fc1 = coarse_transform(params, fc0, fc1, m0, m1, hc, wc)
+    idx0, idx1, score, valid = coarse_match(
+        fc0, fc1, m0, m1, threshold=conf.get("match_threshold", 0.2),
+        max_matches=conf.get("max_matches", 1024))
+
+    win0 = gather_fine_windows(featf[0], idx0, wc)
+    win1 = gather_fine_windows(featf[1], idx1, wc)
+    down = params["fine_preprocess"]["down_proj"]
+    merge = params["fine_preprocess"]["merge_feat"]
+    c0 = linear(down, jnp.take(fc0, idx0, axis=0))
+    c1 = linear(down, jnp.take(fc1, idx1, axis=0))
+    win0 = linear(merge, jnp.concatenate(
+        [win0, jnp.broadcast_to(c0[:, None], win0.shape)], -1))
+    win1 = linear(merge, jnp.concatenate(
+        [win1, jnp.broadcast_to(c1[:, None], win1.shape)], -1))
+    offsets1 = fine_match(params, win0, win1, valid)
+
+    def cell_center(idx):
+        ci = (idx // wc).astype(jnp.float32)
+        cj = (idx % wc).astype(jnp.float32)
+        return jnp.stack([cj * 8 + 4, ci * 8 + 4], -1)
+
+    kpts0 = jnp.where(valid[:, None], cell_center(idx0), 0.0)
+    kpts1 = jnp.where(valid[:, None],
+                      cell_center(idx1) + offsets1 * 2.0, 0.0)
+    return {"keypoints0": kpts0, "keypoints1": kpts1, "scores": score,
+            "mask": valid}
+
+
+@functools.partial(jax.jit, static_argnames=("conf_key",))
+def _apply_batched(params, image0, image1, wh0, wh1, conf_key):
+    conf = dict(conf_key)
+    return jax.vmap(
+        lambda a, b, c, d: forward_pair(params, a, b, c, d, conf)
+    )(image0, image1, wh0, wh1)
+
+
+class ASpanFormer(BaseModel):
+    """Reference contract: imcui/hloc/matchers/aspanformer.py:18."""
+
+    default_conf = {
+        "model_name": "outdoor.ckpt",
+        "match_threshold": 0.2,
+        "sinkhorn_iterations": 20,
+        "max_keypoints": 2048,
+    }
+    required_inputs = ["image0", "image1"]
+
+    def _init(self, conf, rng):
+        self.params, self.meta = load_params(conf)
+        self._conf_key = tuple(sorted({
+            "match_threshold": float(conf["match_threshold"]),
+            "max_matches": int(conf.get("max_keypoints") or 2048),
+        }.items()))
+
+    def _forward(self, data):
+        image0 = jnp.asarray(data["image0"], jnp.float32)
+        image1 = jnp.asarray(data["image1"], jnp.float32)
+        b = image0.shape[0]
+        img0 = image0.transpose(0, 2, 3, 1)
+        img1 = image1.transpose(0, 2, 3, 1)
+        if img0.shape[-1] == 3:
+            img0 = img0.mean(-1, keepdims=True)
+            img1 = img1.mean(-1, keepdims=True)
+
+        def wh(key, img):
+            if key in data:
+                return jnp.asarray(data[key], jnp.int32)
+            h, w = img.shape[1:3]
+            return jnp.tile(jnp.asarray([[w, h]], jnp.int32), (b, 1))
+
+        out = _apply_batched(self.params, img0, img1, wh("size0", img0),
+                             wh("size1", img1), self._conf_key)
+        out["mconf"] = out["scores"]
+        return out

@@ -43,6 +43,7 @@ FEATURE_DIMS = {
     "superpoint": 256,
     "disk": 128,
     "aliked": 128,
+    "raco-aliked": 128,  # RaCo keypoints described by ALIKED's SDDH
     "sift": 128,
     "xfeat": 64,
 }
@@ -296,7 +297,8 @@ class LightGlue(BaseModel):
     ]
 
     def _init(self, conf, rng):
-        if conf["features"] in ("disk", "aliked", "sift", "xfeat"):
+        if conf["features"] in ("disk", "aliked", "raco-aliked", "sift",
+                                "xfeat"):
             conf.setdefault("input_dim", FEATURE_DIMS[conf["features"]])
         self.params, self.meta = load_params(conf)
         self._conf_key = tuple(

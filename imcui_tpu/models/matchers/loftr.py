@@ -315,6 +315,9 @@ def coarse_match(featc0, featc1, mask0, mask1, temperature=0.1,
     score = jnp.max(conf, 1)
     ok = mutual & (score > threshold) & mask0
     score = jnp.where(ok, score, 0.0)
+    # a small image can have fewer coarse cells than the requested match
+    # budget — the shape is static, so clamp at trace time
+    max_matches = min(max_matches, score.shape[0])
     top_score, idx0 = jax.lax.top_k(score, max_matches)
     idx1 = jnp.take(idx1_of_0, idx0)
     valid = top_score > 0.0

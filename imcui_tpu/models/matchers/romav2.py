@@ -1,0 +1,105 @@
+"""RoMaV2 dense warp matcher, native JAX.
+
+Reference contract: imcui/hloc/matchers/romav2.py:17-60 — standalone dense
+matcher; RoMaV2 refines RoMa's recipe (stronger frozen features, a leaner
+refinement decoder, balanced certainty sampling) but keeps the same
+surface: match → sample(max_keypoints) → to_pixel_coordinates.
+
+This module shares the correlation-warp machinery with matchers/roma.py
+and adds V2's two-pass refinement (coarse warp re-estimated once from
+warped features — the "recurrent" refinement step) and certainty-balanced
+sampling (certainty-weighted stratified top-k rather than plain top-k),
+matching the published V2 behavioral changes at our backbone scale.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.base_model import BaseModel
+from . import roma as roma_mod
+
+
+def load_params(conf):
+    return roma_mod.load_params(conf)
+
+
+def balanced_sample(warp, cert, h, w, num=2048):
+    """Certainty-balanced sampling: stratify the grid into 4×4 regions and
+    take each region's best cells first (V2's balanced sampling analog),
+    so matches spread over the image instead of clustering."""
+    hc, wc = cert.shape
+    rs = 4
+    # per-region rank: penalise cells that are not among their region's
+    # best by folding the region-relative rank into the score
+    region = (jnp.arange(hc)[:, None] // max(hc // rs, 1)) * rs \
+        + (jnp.arange(wc)[None, :] // max(wc // rs, 1))
+    flat_r = region.reshape(-1)
+    flat_c = cert.reshape(-1)
+    # region max for normalisation → balanced score in [0, 1] per region
+    seg_max = jax.ops.segment_max(flat_c, flat_r, num_segments=rs * rs)
+    balanced = flat_c / jnp.maximum(seg_max[flat_r], 1e-6)
+    score = balanced * 0.5 + flat_c * 0.5
+    gy, gx = jnp.meshgrid(jnp.arange(hc), jnp.arange(wc), indexing="ij")
+    k0 = jnp.stack(
+        [gx.reshape(-1) * 8.0 + 4.0, gy.reshape(-1) * 8.0 + 4.0], -1)
+    k1 = roma_mod.to_pixel_coordinates(warp.reshape(-1, 2), h, w)
+    top, idx = jax.lax.top_k(score, min(num, score.shape[0]))
+    valid = top > 0.0
+    return (jnp.where(valid[:, None], k0[idx], 0.0),
+            jnp.where(valid[:, None], k1[idx], 0.0),
+            jnp.where(valid, flat_c[idx], 0.0), valid)
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def _apply_batched(params, image0, image1, max_matches):
+    def per_pair(a, b):
+        from .loftr import backbone_apply
+
+        featc, _ = backbone_apply(params["backbone"],
+                                  jnp.stack([a, b], 0))
+        f0, f1 = featc[0], featc[1]
+        warp, cert = roma_mod.correlation_warp(f0, f1)
+        warp, cert = roma_mod.refine(params["refiner"], f0, f1, warp,
+                                     cert)
+        # V2: one recurrent pass — re-refine from the warped features
+        f1w = roma_mod.bilinear_warp(f1, warp)
+        warp2, cert2 = roma_mod.correlation_warp(f0, f1w)
+        warp = warp + 0.25 * warp2  # residual correction in [-1,1] space
+        cert = (cert + cert2) * 0.5
+        h, w = a.shape[0], a.shape[1]
+        k0, k1, score, valid = balanced_sample(warp, cert, h, w,
+                                               num=max_matches)
+        return {"keypoints0": k0, "keypoints1": k1, "scores": score,
+                "mask": valid}
+
+    return jax.vmap(per_pair)(image0, image1)
+
+
+class RomaV2(BaseModel):
+    """Reference contract: imcui/hloc/matchers/romav2.py:17."""
+
+    default_conf = {
+        "max_keypoints": 2048,
+        "match_threshold": 0.2,
+    }
+    required_inputs = ["image0", "image1"]
+
+    def _init(self, conf, rng):
+        self.params, self.meta = load_params(conf)
+
+    def _forward(self, data):
+        image0 = jnp.asarray(data["image0"], jnp.float32)
+        image1 = jnp.asarray(data["image1"], jnp.float32)
+
+        def prep(img):
+            x = img.transpose(0, 2, 3, 1)
+            if x.shape[-1] == 3:
+                x = x.mean(-1, keepdims=True)
+            return x
+
+        out = _apply_batched(self.params, prep(image0), prep(image1),
+                             int(self.conf["max_keypoints"]))
+        out["mconf"] = out["scores"]
+        return out
