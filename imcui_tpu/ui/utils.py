@@ -224,13 +224,15 @@ def compute_geometry(pred, ransac_method=DEFAULT_RANSAC_METHOD,
         geo_info["mask_h"] = mask_h
         if F is not None:
             try:
-                _, H1, H2 = cv2.stereoRectifyUncalibrated(
+                ret, H1, H2 = cv2.stereoRectifyUncalibrated(
                     mkpts0.reshape(-1, 2).astype(np.float64),
                     mkpts1.reshape(-1, 2).astype(np.float64),
                     np.asarray(F, np.float64), imgSize=(w0, h0),
                 )
-                geo_info["H1"] = H1.tolist()
-                geo_info["H2"] = H2.tolist()
+                # some builds signal failure via ret/None, not cv2.error
+                if ret and H1 is not None and H2 is not None:
+                    geo_info["H1"] = H1.tolist()
+                    geo_info["H2"] = H2.tolist()
             except cv2.error as e:
                 logger.error(f"StereoRectifyUncalibrated failed, skip! {e}")
     return geo_info
