@@ -16,7 +16,9 @@ two images channel-wise to C=128, ``feature_group_count=2`` with tiled
 weights — numerically exact) was also measured and rejected: 15.8 ms for
 C=128/B=4/groups=2 vs 8.6 ms for plain C=64/B=8 at 1024² on v5e — XLA
 lowers grouped convs group-serially, losing more than the lane padding
-costs.
+costs. NCHW dimension numbers were measured too: 13.9 vs 8.7 ms per conv
+(26.6 vs 17.2 ms for a conv-relu-conv chain) — XLA transposes back to
+its native layout, so the NHWC path stays canonical.
 
 Why: this block dominates the extractor's runtime. At 1024² the
 64-channel full-resolution activations are written to and re-read from HBM
