@@ -143,6 +143,65 @@ def state_dict_to_tree(sd, rules):
     return tree
 
 
+def convert_state_dict_auto(sd, list_keys=()):
+    """Rank-based automatic torch→JAX state_dict conversion.
+
+    No per-model rules: the transform is inferred per tensor —
+    4-D → conv (OIHW→HWIO), 3-D → conv1d, 2-D → linear (transpose),
+    1-D → batch-norm stats when a sibling ``running_mean`` exists
+    (weight/bias/running_mean/running_var → scale/bias/mean/var), else
+    layer-norm/affine (weight→scale) or a raw vector. ``list_keys`` names
+    subtrees whose integer-keyed children become Python lists (layer
+    stacks, e.g. ``("layers",)``).
+
+    This is the shared engine behind per-model ``load_params`` functions;
+    models whose param trees mirror the torch names need nothing else.
+    """
+    norm_map = {"weight": "scale", "bias": "bias",
+                "running_mean": "mean", "running_var": "var"}
+    tree = {}
+    for name, arr in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        parts = name.split(".")
+        leaf = parts[-1]
+        prefix = ".".join(parts[:-1])
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if getattr(arr, "ndim", 0) == 4:
+            node["w" if leaf == "weight" else "b"] = conv_w(arr)
+        elif getattr(arr, "ndim", 0) == 3:
+            node["w" if leaf == "weight" else "b"] = conv1d_w(arr)
+        elif getattr(arr, "ndim", 0) == 2:
+            node["w" if leaf == "weight" else "b"] = linear_w(arr)
+        elif f"{prefix}.running_mean" in sd:
+            node[norm_map[leaf]] = vec(arr)
+        elif leaf == "weight":
+            node["scale"] = vec(arr)
+        elif leaf == "bias":
+            # a 1-D sibling `weight` marks a norm affine pair
+            # (scale/bias); otherwise this is a conv/linear bias → b
+            w = sd.get(f"{prefix}.weight")
+            node["bias" if getattr(w, "ndim", 0) == 1 else "b"] = vec(arr)
+        else:
+            node[leaf] = vec(arr)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: listify(v) for k, v in node.items()}
+        for key in list_keys:
+            sub = out.get(key)
+            if isinstance(sub, dict) and sub and \
+                    all(k.isdigit() for k in sub):
+                out[key] = [listify(sub[str(i)])
+                            for i in range(len(sub))]
+        return out
+
+    return listify(tree)
+
+
 def tree_shapes(tree, prefix=""):
     """Flatten a param tree into {path: shape} for conversion checks.
     Handles dicts and lists (layer stacks) of subtrees."""
