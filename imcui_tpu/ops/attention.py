@@ -130,7 +130,7 @@ def flash_attention(q, k, v, mask_k, blk_q=256, blk_k=256):
     # (measured: 15 ms vs 6.7 ms for 9-layer LightGlue at N=1024 under
     # vmap); at 4096 the kernel is 1.2x faster and avoids the 268 MB
     # logits round-trip entirely.
-    if nq % blk_q or nk % blk_k or dh % 64 or nk < 2048:
+    if pl is None or nq % blk_q or nk % blk_k or dh % 64 or nk < 2048:
         return mha(q, k, v, mask_k=mask_k)
 
     scale = 1.0 / (dh ** 0.5)

@@ -67,7 +67,12 @@ def load_state_dict(path):
     """Load a torch checkpoint into a flat {name: np.ndarray} dict."""
     import torch
 
-    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        # safe path first: most zoo checkpoints are plain tensor dicts
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        # some upstream files pickle configs/namespaces alongside tensors
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
         for key in ("state_dict", "model_state_dict", "model"):
             if key in ckpt and isinstance(ckpt[key], dict):

@@ -8,7 +8,8 @@ values.
 
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")  # runtime stays torch-free; CI may too
 
 
 def _save(sd, tmp_path, name):
