@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, max_pool, relu
 
 SIZES = {
@@ -75,10 +75,7 @@ def init_params(rng, c1, c2, c3, c4, dim):
 def load_params(conf):
     sizes = SIZES[conf.get("model_name", "alike-n")]
     init = init_params(jax.random.PRNGKey(0), **sizes)
-    path = download_checkpoint(conf.get("model_name", "alike-n") + ".pth")
-    if path is None:
-        return init, {"pretrained": False}
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto(conf.get("model_name", "alike-n") + ".pth", init, "alike")
 
 
 def backbone(p, x):

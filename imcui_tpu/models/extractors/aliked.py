@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, init_linear, linear, max_pool, relu
 
 SIZES = {
@@ -68,10 +68,10 @@ def init_params(rng, c1, c2, c3, c4, dim, M):
 def load_params(conf):
     sizes = SIZES[conf.get("model_name", "aliked-n16")]
     init = init_params(jax.random.PRNGKey(0), **sizes)
-    path = download_checkpoint(conf.get("model_name", "aliked-n16") + ".pth")
-    if path is None:
-        return init, {"pretrained": False, "head": "sddh"}
-    return init, {"pretrained": False, "head": "sddh"}
+    params, meta = load_params_auto(
+        conf.get("model_name", "aliked-n16") + ".pth", init, "aliked")
+    meta["head"] = "sddh"
+    return params, meta
 
 
 def backbone(p, x):

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, max_pool, relu
 
 # VGG16 through conv4_3 (d2net's dense feature extractor)
@@ -46,10 +46,7 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    path = download_checkpoint("d2_tf.pth")
-    if path is None:
-        return init, {"pretrained": False}
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("d2_tf.pth", init, "d2net")
 
 
 def backbone(params, x):

@@ -22,7 +22,7 @@ from jax import lax
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, relu
 
 DESC_DIM = 128
@@ -48,9 +48,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("darkfeat/" + conf.get("model_name",
-                                               "DarkFeat.pth"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("darkfeat/" + conf.get("model_name",
+                                               "DarkFeat.pth"), init, "darkfeat")
 
 
 def peakiness(x, ksize=3):

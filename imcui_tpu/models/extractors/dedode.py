@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, max_pool, relu
 
 VGG_BLOCKS = [(64, 2), (128, 2), (256, 3)]  # (channels, convs) per stage
@@ -88,10 +88,17 @@ def init_params(rng):
 
 
 def load_params(conf):
+    """DeDoDe ships detector and descriptor as separate checkpoints
+    (reference conf: imcui/hloc/extractors/dedode.py) — convert each onto
+    its subtree; pretrained only when both load."""
     init = init_params(jax.random.PRNGKey(0))
-    for name in ("dedode_detector_L.pth", "dedode_descriptor_B.pth"):
-        download_checkpoint(name)
-    return init, {"pretrained": False}  # conversion on availability
+    det, m0 = load_params_auto(
+        "dedode_detector_L.pth", init["detector"], "dedode_detector")
+    desc, m1 = load_params_auto(
+        "dedode_descriptor_B.pth", init["descriptor"], "dedode_descriptor")
+    pretrained = m0["pretrained"] and m1["pretrained"]
+    return ({"detector": det, "descriptor": desc},
+            {"pretrained": pretrained})
 
 
 @functools.partial(

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..backbones.resnet import basic_block, init_basic_block
 from ..layers import (batch_norm_inference, conv2d, init_conv, init_linear,
                       init_layer_norm, layer_norm, linear, max_pool, relu)
@@ -57,9 +57,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("fire/" + conf.get("model_name",
-                                           "fire_SfM_120k.pth"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("fire/" + conf.get("model_name",
+                                           "fire_SfM_120k.pth"), init, "fire")
 
 
 def trunk(params, x):

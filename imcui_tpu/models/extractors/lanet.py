@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import batch_norm_inference, conv2d, init_conv, max_pool, relu
 
 CELL = 8
@@ -56,9 +56,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("lanet/" + conf.get("model_name",
-                                            "PointModel_v0.pth"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("lanet/" + conf.get("model_name",
+                                            "PointModel_v0.pth"), init, "lanet")
 
 
 def heads(params, x):

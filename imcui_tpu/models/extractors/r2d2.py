@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import batch_norm_inference, conv2d, init_conv, relu
 
 # (cout, dilation) — L2-Net layout with dilation replacing the strides
@@ -51,11 +51,7 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    path = download_checkpoint(
-        conf.get("model_name", "r2d2_WASF_N16.pt"))
-    if path is None:
-        return init, {"pretrained": False}
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto(conf.get("model_name", "r2d2_WASF_N16.pt"), init, "r2d2")
 
 
 def backbone(params, x):

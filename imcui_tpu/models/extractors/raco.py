@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import batch_norm_inference, conv2d, init_conv, max_pool, relu
 from .aliked import ALIKED
 
@@ -49,8 +49,7 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("raco/" + str(conf.get("model_name", "raco")))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("raco/" + str(conf.get("model_name", "raco")), init, "raco")
 
 
 def backbone(params, x):

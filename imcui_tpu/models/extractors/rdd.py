@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import (batch_norm_inference, conv2d, init_conv, init_linear,
                       layer_norm, init_layer_norm, linear, max_pool, relu)
 
@@ -71,8 +71,7 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("rdd/" + conf.get("model_name", "RDD-v2.pth"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("rdd/" + conf.get("model_name", "RDD-v2.pth"), init, "rdd")
 
 
 def _bilinear_at(fmap, xy):

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, max_pool, relu
 
 GROUP = 4       # C4: 0/90/180/270°
@@ -51,8 +51,7 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("rekd/" + str(conf.get("model_name", "v0")))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("rekd/" + str(conf.get("model_name", "v0")), init, "rekd")
 
 
 def lift_conv(w, x):

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..backbones.resnet import basic_block, init_basic_block
 from ..layers import batch_norm_inference, conv2d, init_conv, max_pool, relu
 
@@ -54,9 +54,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("pram/" + conf.get(
-        "model_name", "sfd2_20230511_210205_resnet4x.79.pth"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("pram/" + conf.get(
+        "model_name", "sfd2_20230511_210205_resnet4x.79.pth"), init, "sfd2")
 
 
 def backbone(params, x):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import init_linear, linear
 from .loftr import (D_COARSE, backbone_apply, coarse_match, encoder_layer,
                     fine_match, gather_fine_windows, init_backbone,
@@ -54,9 +54,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("aspanformer/" + conf.get("model_name",
-                                                  "outdoor.ckpt"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("aspanformer/" + conf.get("model_name",
+                                                  "outdoor.ckpt"), init, "aspanformer")
 
 
 def _soft_flow(f0, f1, hc, wc, m0, m1):

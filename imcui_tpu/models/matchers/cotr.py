@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import (batch_norm_inference, conv2d, init_conv, init_linear,
                       init_layer_norm, layer_norm, linear, max_pool, relu)
 
@@ -70,9 +70,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("cotr/" + conf.get("model_name",
-                                           "checkpoint.pth.tar"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("cotr/" + conf.get("model_name",
+                                           "checkpoint.pth.tar"), init, "cotr")
 
 
 def sine_embed(xy, dim=32):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, relu
 from . import loftr as loftr_mod
 
@@ -72,10 +72,7 @@ def init_params(rng, n_coarse_layers=4, n_fine_layers=2):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    path = download_checkpoint("eloftr_outdoor.ckpt")
-    if path is None:
-        return init, {"pretrained": False}
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("eloftr_outdoor.ckpt", init, "eloftr")
 
 
 def backbone_apply(p, x):

@@ -24,7 +24,7 @@ from ...ops.attention import mha
 from ...ops.ransac import highest_precision
 from ...ops.sinkhorn import log_optimal_transport, matches_from_assignment
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import init_linear, linear, relu
 
 D_MODEL = 256
@@ -57,9 +57,8 @@ def init_params(rng, descriptor_dim=128):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("pram/" + conf.get("model_name",
-                                           "imp_gml.920.pth"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("pram/" + conf.get("model_name",
+                                           "imp_gml.920.pth"), init, "imp")
 
 
 @highest_precision

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import linear
 from .loftr import (D_COARSE, backbone_apply, coarse_match, fine_match,
                     gather_fine_windows, init_params as init_loftr_params,
@@ -43,9 +43,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("jamma/" + conf.get("weights",
-                                            "jamma_weight.ckpt"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("jamma/" + conf.get("weights",
+                                            "jamma_weight.ckpt"), init, "jamma")
 
 
 def _col_major_perm(hc, wc):

@@ -26,7 +26,7 @@ import numpy as np
 
 from ...ops.nms import sample_descriptors
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, max_pool, relu
 
 VARIANCES = ("rot_var_illum_var", "rot_var_illum_inv",
@@ -55,8 +55,7 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint(conf.get("model_name", "lisrd_aachen") + ".pth")
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto(conf.get("model_name", "lisrd_aachen") + ".pth", init, "lisrd")
 
 
 def backbone(params, x):

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import init_linear, layer_norm, init_layer_norm, linear
 from .loftr import (D_COARSE, backbone_apply, coarse_match, fine_match,
                     gather_fine_windows, init_params as init_loftr_params,
@@ -59,8 +59,7 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("loma/" + str(conf.get("model_name", "loma_b")))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("loma/" + str(conf.get("model_name", "loma_b")), init, "loma")
 
 
 def selective_scan(p, x, mask):

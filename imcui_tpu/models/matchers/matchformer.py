@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import (batch_norm_inference, conv2d, init_conv, init_linear,
                       init_layer_norm, layer_norm, linear, relu)
 from .loftr import (coarse_match, fine_match, gather_fine_windows,
@@ -91,8 +91,7 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("matchformer/matchformer_outdoor-large-LA.ckpt")
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("matchformer/matchformer_outdoor-large-LA.ckpt", init, "matchformer")
 
 
 def _pool_tokens(x, h, w, r):

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ...ops.ransac import highest_precision
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import (batch_norm_inference, conv2d, init_conv, max_pool,
                       relu)
 
@@ -53,8 +53,7 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("mickey/" + conf.get("model_name", "mickey.ckpt"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("mickey/" + conf.get("model_name", "mickey.ckpt"), init, "mickey")
 
 
 def heads(params, x):

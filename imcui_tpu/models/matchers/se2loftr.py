@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, linear, max_pool, relu
 from .loftr import (D_COARSE, D_FINE, coarse_match, encoder_layer,
                     fine_match, gather_fine_windows,
@@ -55,9 +55,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("se2loftr/se2loftr_"
-                        + conf.get("variant", "rot8") + ".ckpt")
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("se2loftr/se2loftr_"
+                        + conf.get("variant", "rot8") + ".ckpt", init, "se2loftr")
 
 
 def lift_conv(w, x, stride=2):

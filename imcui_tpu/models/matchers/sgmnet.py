@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ...ops.attention import NEG_INF, mha
 from ...ops.sinkhorn import log_optimal_transport, matches_from_assignment
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import (gelu, init_layer_norm, init_linear, layer_norm,
                       linear)
 
@@ -80,10 +80,7 @@ def init_params(rng, conf):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0), conf)
-    path = download_checkpoint("sgmnet_root.pth")
-    if path is None:
-        return init, {"pretrained": False}
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("sgmnet_root.pth", init, "sgmnet")
 
 
 def select_seeds(desc0, desc1, mask0, mask1, k):

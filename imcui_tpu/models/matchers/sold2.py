@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import (batch_norm_inference, conv2d, init_conv, max_pool,
                       relu)
 
@@ -64,9 +64,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("sold2/" + conf.get("model_name",
-                                            "sold2_wireframe.tar"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("sold2/" + conf.get("model_name",
+                                            "sold2_wireframe.tar"), init, "sold2")
 
 
 def backbone(params, x):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ...ops.attention import mha
 from ...ops.sinkhorn import log_optimal_transport, matches_from_assignment
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import init_linear, linear, relu
 
 K_CHEB = 2
@@ -56,9 +56,8 @@ def load_params(conf):
     init = init_params(jax.random.PRNGKey(0),
                        descriptor_dim=conf.get("descriptor_dim", 256),
                        output_dim=conf.get("output_dim", 512))
-    download_checkpoint("sphereglue/" + conf.get(
-        "model_name", "sphereglue_superpoint.pth"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("sphereglue/" + conf.get(
+        "model_name", "sphereglue_superpoint.pth"), init, "sphereglue")
 
 
 def to_sphere(kpts, size):

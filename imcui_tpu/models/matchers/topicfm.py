@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import init_linear, layer_norm, linear, relu
 from .loftr import (D_COARSE, backbone_apply, coarse_match, encoder_layer,
                     fine_match, gather_fine_windows,
@@ -45,9 +45,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("topicfm/" + conf.get("model_name",
-                                              "model_best.ckpt"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("topicfm/" + conf.get("model_name",
+                                              "model_best.ckpt"), init, "topicfm")
 
 
 def topic_mixture(params, feat):

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import init_linear, linear
 from .loftr import (D_COARSE, backbone_apply, coarse_match, encoder_layer,
                     gather_fine_windows, init_params as init_loftr_params,
@@ -41,9 +41,8 @@ def init_params(rng):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    download_checkpoint("xoftr/" + conf.get("model_name",
-                                            "weights_xoftr_640.ckpt"))
-    return init, {"pretrained": False}  # conversion on availability
+    return load_params_auto("xoftr/" + conf.get("model_name",
+                                            "weights_xoftr_640.ckpt"), init, "xoftr")
 
 
 def whiten(feat, mask):
