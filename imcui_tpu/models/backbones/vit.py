@@ -28,29 +28,69 @@ def mlp_apply(p, x):
 
 
 def init_attention(key, dim):
+    """Fused-qkv self-attention (upstream croco ``Attention`` naming)."""
     k1, k2 = jax.random.split(key)
     return {"qkv": init_linear(k1, dim, 3 * dim),
             "proj": init_linear(k2, dim, dim)}
 
 
-def attention_apply(p, x, num_heads, context=None):
+def init_cross_attention(key, dim):
+    """Separate q/k/v projections (upstream croco ``CrossAttention``
+    ships projq/projk/projv/proj — kept 1:1 so checkpoints convert
+    without fusing)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {"projq": init_linear(k1, dim, dim),
+            "projk": init_linear(k2, dim, dim),
+            "projv": init_linear(k3, dim, dim),
+            "proj": init_linear(k4, dim, dim)}
+
+
+def _rope_1d(t, pos, base):
+    """NeoX-style rotary embedding on one coordinate.
+    t: (heads, n, d); pos: (n,) positions."""
+    d = t.shape[-1]
+    inv = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    freqs = pos.astype(jnp.float32)[:, None] * inv[None]  # (n, d/2)
+    emb = jnp.concatenate([freqs, freqs], -1)  # (n, d)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    t1, t2 = jnp.split(t, 2, axis=-1)
+    rotated = jnp.concatenate([-t2, t1], -1)
+    return t * cos[None] + rotated * sin[None]
+
+
+def rope_2d(t, pos, base=100.0):
+    """croco RoPE2D (freq base 100): the head dim is halved into a
+    y-half and an x-half, each rotated 1-D by its grid coordinate.
+    t: (heads, n, d); pos: (n, 2) integer (y, x) patch coordinates."""
+    ty, tx = jnp.split(t, 2, axis=-1)
+    return jnp.concatenate([
+        _rope_1d(ty, pos[:, 0], base), _rope_1d(tx, pos[:, 1], base)
+    ], -1)
+
+
+def attention_apply(p, x, num_heads, context=None, pos=None, kpos=None,
+                    rope_base=None):
     """Self-attention when context is None, else cross-attention
-    (q from x, k/v from context)."""
+    (q from x, k/v from context). With ``rope_base`` set, q/k are
+    rotary-embedded at patch positions ``pos`` (and ``kpos`` for the
+    context side) — the DUSt3R/CroCo-v2 scheme."""
     n, d = x.shape
     dh = d // num_heads
     if context is None:
         qkv = linear(p["qkv"], x).reshape(n, 3, num_heads, dh)
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        kpos = pos
     else:
         m = context.shape[0]
-        wq, wk, wv = jnp.split(p["qkv"]["w"], 3, axis=1)
-        bq, bk, bv = jnp.split(p["qkv"]["b"], 3)
-        q = (x @ wq + bq).reshape(n, num_heads, dh)
-        k = (context @ wk + bk).reshape(m, num_heads, dh)
-        v = (context @ wv + bv).reshape(m, num_heads, dh)
+        q = linear(p["projq"], x).reshape(n, num_heads, dh)
+        k = linear(p["projk"], context).reshape(m, num_heads, dh)
+        v = linear(p["projv"], context).reshape(m, num_heads, dh)
     q = q.transpose(1, 0, 2)
     k = k.transpose(1, 0, 2)
     v = v.transpose(1, 0, 2)
+    if rope_base is not None and pos is not None:
+        q = rope_2d(q, pos, rope_base)
+        k = rope_2d(k, kpos if kpos is not None else pos, rope_base)
     logits = jnp.einsum("hnd,hmd->hnm", q, k,
                         preferred_element_type=jnp.float32) / dh**0.5
     attn = jax.nn.softmax(logits, -1)
@@ -69,8 +109,9 @@ def init_encoder_block(key, dim, mlp_ratio=4):
     }
 
 
-def encoder_block_apply(p, x, num_heads):
-    x = x + attention_apply(p["attn"], layer_norm(p["norm1"], x), num_heads)
+def encoder_block_apply(p, x, num_heads, pos=None, rope_base=None):
+    x = x + attention_apply(p["attn"], layer_norm(p["norm1"], x), num_heads,
+                            pos=pos, rope_base=rope_base)
     x = x + mlp_apply(p["mlp"], layer_norm(p["norm2"], x))
     return x
 
@@ -82,19 +123,22 @@ def init_decoder_block(key, dim, mlp_ratio=4):
         "norm1": init_layer_norm(dim),
         "attn": init_attention(k1, dim),
         "norm2": init_layer_norm(dim),
-        "cross_attn": init_attention(k2, dim),
+        "cross_attn": init_cross_attention(k2, dim),
         "norm3": init_layer_norm(dim),
         "mlp": init_mlp(k3, dim, dim * mlp_ratio),
         "norm_y": init_layer_norm(dim),
     }
 
 
-def decoder_block_apply(p, x, y, num_heads):
+def decoder_block_apply(p, x, y, num_heads, pos=None, kpos=None,
+                        rope_base=None):
     """x attends to itself, then to the other view's tokens y."""
-    x = x + attention_apply(p["attn"], layer_norm(p["norm1"], x), num_heads)
+    x = x + attention_apply(p["attn"], layer_norm(p["norm1"], x), num_heads,
+                            pos=pos, rope_base=rope_base)
     x = x + attention_apply(
         p["cross_attn"], layer_norm(p["norm2"], x), num_heads,
         context=layer_norm(p["norm_y"], y),
+        pos=pos, kpos=kpos, rope_base=rope_base,
     )
     x = x + mlp_apply(p["mlp"], layer_norm(p["norm3"], x))
     return x
@@ -109,6 +153,15 @@ def patch_embed_apply(p, image, patch):
     x = conv2d(p["proj"], image[None], stride=patch, padding="VALID")[0]
     hp, wp, d = x.shape
     return x.reshape(hp * wp, d), (hp, wp)
+
+
+def grid_positions(hp, wp):
+    """(hp·wp, 2) integer (y, x) patch coordinates, row-major — the
+    croco PositionGetter order (cartesian_prod of rows then cols)."""
+    ys = jnp.arange(hp, dtype=jnp.int32)
+    xs = jnp.arange(wp, dtype=jnp.int32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gy.reshape(-1), gx.reshape(-1)], -1)
 
 
 def sincos_pos_embed(hp, wp, dim):

@@ -20,13 +20,14 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint, load_state_dict
-from ..layers import batch_norm_inference, conv2d, init_conv, relu
+from ...utils.weights import load_params_auto
+from ..layers import (batch_norm_inference, conv2d, init_conv, init_linear,
+                      relu)
 
 
 def init_bn(c):
-    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
-            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+    # upstream BasicLayer uses BatchNorm2d(affine=False): running stats only
+    return {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
 
 
 def init_basic(key, cin, cout, k=3):
@@ -40,10 +41,12 @@ def basic(p, x, stride=1):
 
 
 BLOCKS = {
-    # name: [(cin, cout, stride, k)]
+    # name: [(cin, cout, stride, k)] — upstream XFeatModel layer for layer
+    # (verlab accelerated_features modules/model.py; block3/block5 end in
+    # 1×1 BasicLayers)
     "block1": [(1, 4, 1, 3), (4, 8, 2, 3), (8, 8, 1, 3), (8, 24, 2, 3)],
     "block2": [(24, 24, 1, 3), (24, 24, 1, 3)],
-    "block3": [(24, 64, 2, 3), (64, 64, 1, 3), (64, 64, 1, 3)],
+    "block3": [(24, 64, 2, 3), (64, 64, 1, 3), (64, 64, 1, 1)],
     "block4": [(64, 64, 2, 3), (64, 64, 1, 3), (64, 64, 1, 3)],
     "block5": [(64, 128, 2, 3), (128, 128, 1, 3), (128, 128, 1, 3),
                (128, 64, 1, 1)],
@@ -52,9 +55,14 @@ BLOCKS = {
     "keypoint_head": [(64, 64, 1, 1), (64, 64, 1, 1), (64, 64, 1, 1)],
 }
 
+# fine_matcher MLP (used by the dense/star matching mode): Sequential of
+# Linear/BatchNorm1d(affine=False)/ReLU keyed by upstream indices
+FINE_MLP = [(0, 128, 512), (3, 512, 512), (6, 512, 512), (9, 512, 512),
+            (12, 512, 64)]
+
 
 def init_params(rng):
-    keys = jax.random.split(rng, 40)
+    keys = jax.random.split(rng, 48)
     ki = 0
     params = {}
     for name, spec in BLOCKS.items():
@@ -69,20 +77,31 @@ def init_params(rng):
     params["heatmap_out"] = init_conv(keys[ki], 1, 1, 64, 1)
     ki += 1
     params["keypoint_out"] = init_conv(keys[ki], 1, 1, 64, 65)
+    ki += 1
+    fine = {}
+    for idx, din, dout in FINE_MLP:
+        fine[str(idx)] = init_linear(keys[ki], din, dout)
+        ki += 1
+        if idx != 12:
+            fine[str(idx + 1)] = {"mean": jnp.zeros((dout,)),
+                                  "var": jnp.ones((dout,))}
+    params["fine_matcher"] = fine
     return params
 
 
 def load_params(conf):
+    """xfeat.pt is the raw XFeatModel state_dict; the only naming deltas
+    are the trailing plain-Conv2d head layers we hold as separate nodes."""
     init = init_params(jax.random.PRNGKey(0))
-    path = download_checkpoint("xfeat.pt")
-    if path is None:
-        return init, {"pretrained": False}
-    try:
-        sd = load_state_dict(path)
-        # conversion validated on first checkpoint availability
-        raise NotImplementedError(sd and "pending weight-name mapping")
-    except Exception:
-        return init, {"pretrained": False}
+    return load_params_auto(
+        "xfeat.pt", init, "xfeat",
+        rename=(
+            (r"^skip1\.1\.", "skip1."),
+            (r"^block_fusion\.2\.", "fusion_out."),
+            (r"^heatmap_head\.2\.", "heatmap_out."),
+            (r"^keypoint_head\.3\.", "keypoint_out."),
+        ),
+    )
 
 
 def instance_norm(x, eps=1e-5):

@@ -52,9 +52,13 @@ def layer_norm(p, x, eps=1e-5):
 
 def batch_norm_inference(p, x, eps=1e-5):
     """Inference-mode batchnorm over channel-last x.
-    p: {"scale","bias","mean","var"} each (C,)."""
+    p: {"scale","bias","mean","var"} each (C,); scale/bias optional
+    (torch ``affine=False`` layers ship only the running stats)."""
     inv = lax.rsqrt(p["var"] + eps)
-    return (x - p["mean"]) * inv * p["scale"] + p["bias"]
+    y = (x - p["mean"]) * inv
+    if "scale" in p:
+        y = y * p["scale"] + p["bias"]
+    return y
 
 
 def max_pool(x, window=2, stride=2):

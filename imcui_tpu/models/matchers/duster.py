@@ -23,15 +23,25 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint
-from ..backbones import vit
+from ...utils.weights import load_params_auto
+from ..backbones import dpt, vit
 from ..layers import init_linear, linear
 
 PUBLISHED = {
     "enc_dim": 1024, "enc_depth": 24, "enc_heads": 16,
     "dec_dim": 768, "dec_depth": 12, "dec_heads": 12,
     "patch": 16,
+    # the released DUSt3R checkpoints use RoPE(100) positions and the
+    # DPT pointmap head (512_dpt variant the reference serves)
+    "pos_embed": "RoPE100",
+    "head_type": "dpt",
 }
+
+
+def _hook_idx(dec_depth):
+    """DUSt3R DPT hook depths over [enc_out, dec_1..dec_N]:
+    [0, 2N/4, 3N/4, N]."""
+    return (0, dec_depth * 2 // 4, dec_depth * 3 // 4, dec_depth)
 
 
 def init_params(rng, conf):
@@ -57,58 +67,92 @@ def init_params(rng, conf):
             for _ in range(c["dec_depth"])
         ],
         "dec_norm": vit.init_layer_norm(c["dec_dim"]),
-        # linear heads: patch token → p² × (xyz + conf)
-        "head1": init_linear(keys[next(ki)], c["dec_dim"],
-                             c["patch"] ** 2 * 4),
-        "head2": init_linear(keys[next(ki)], c["dec_dim"],
-                             c["patch"] ** 2 * 4),
     }
+    if c.get("head_type", "dpt") == "dpt":
+        dims = (c["enc_dim"], c["dec_dim"], c["dec_dim"], c["dec_dim"])
+        params["downstream_head1"] = {
+            "dpt": dpt.init_dpt(keys[next(ki)], dim_tokens=dims)}
+        params["downstream_head2"] = {
+            "dpt": dpt.init_dpt(keys[next(ki)], dim_tokens=dims)}
+    else:  # linear pointmap head (224_linear variants, tiny test configs)
+        params["downstream_head1"] = {"proj": init_linear(
+            keys[next(ki)], c["dec_dim"], c["patch"] ** 2 * 4)}
+        params["downstream_head2"] = {"proj": init_linear(
+            keys[next(ki)], c["dec_dim"], c["patch"] ** 2 * 4)}
     return params
 
 
-def load_params(conf):
+def load_params(conf, filename="duster/duster_vit_large.pth"):
+    """Convert the upstream AsymmetricCroCo3DStereo checkpoint — the
+    param tree mirrors its module names 1:1 (reference loads the same
+    file: imcui/hloc/matchers/duster.py:33-38); mask_token and the raw
+    pos-embed buffers are pretraining leftovers we drop."""
     init = init_params(jax.random.PRNGKey(0), conf)
-    path = download_checkpoint(
-        "duster_vit_large.pth"
+    return load_params_auto(
+        filename, init, "duster",
+        drop=(r"^mask_token", r"pos_embed$", r"^prediction_head"),
     )
-    if path is None:
-        return init, {"pretrained": False}
-    # conversion validated on first checkpoint availability
-    return init, {"pretrained": False}
 
 
 def encode(params, image, conf):
     """image: (H, W, 3) → tokens + grid shape."""
     tokens, (hp, wp) = vit.patch_embed_apply(
         params["patch_embed"], image, conf["patch"])
-    tokens = tokens + vit.sincos_pos_embed(hp, wp, tokens.shape[-1])
+    rope = 100.0 if conf.get("pos_embed", "RoPE100") == "RoPE100" else None
+    pos = vit.grid_positions(hp, wp) if rope else None
+    if rope is None:
+        tokens = tokens + vit.sincos_pos_embed(hp, wp, tokens.shape[-1])
     for blk in params["enc_blocks"]:
-        tokens = vit.encoder_block_apply(blk, tokens, conf["enc_heads"])
+        tokens = vit.encoder_block_apply(blk, tokens, conf["enc_heads"],
+                                         pos=pos, rope_base=rope)
     return vit.layer_norm(params["enc_norm"], tokens), (hp, wp)
 
 
-def decode(params, t0, t1, conf):
-    """Dual decoder with cross-attention between views."""
+def decode(params, t0, t1, grid, conf):
+    """Dual decoder with cross-attention between views. Returns the
+    DUSt3R head hooks for both views: [enc_out, dec_i, dec_j, dec_last]
+    with dec_norm applied to the final one."""
+    rope = 100.0 if conf.get("pos_embed", "RoPE100") == "RoPE100" else None
+    pos = vit.grid_positions(*grid) if rope else None
     d0 = linear(params["decoder_embed"], t0)
     d1 = linear(params["decoder_embed"], t1)
+    outs0, outs1 = [t0], [t1]
     for b0, b1 in zip(params["dec_blocks"], params["dec_blocks2"]):
-        d0n = vit.decoder_block_apply(b0, d0, d1, conf["dec_heads"])
-        d1 = vit.decoder_block_apply(b1, d1, d0, conf["dec_heads"])
+        d0n = vit.decoder_block_apply(b0, d0, d1, conf["dec_heads"],
+                                      pos=pos, kpos=pos, rope_base=rope)
+        d1 = vit.decoder_block_apply(b1, d1, d0, conf["dec_heads"],
+                                     pos=pos, kpos=pos, rope_base=rope)
         d0 = d0n
-    d0 = vit.layer_norm(params["dec_norm"], d0)
-    d1 = vit.layer_norm(params["dec_norm"], d1)
-    return d0, d1
+        outs0.append(d0)
+        outs1.append(d1)
+    outs0[-1] = vit.layer_norm(params["dec_norm"], outs0[-1])
+    outs1[-1] = vit.layer_norm(params["dec_norm"], outs1[-1])
+    idx = _hook_idx(conf["dec_depth"])
+    return [outs0[i] for i in idx], [outs1[i] for i in idx]
 
 
-def head_to_pointmap(head, tokens, grid, patch):
-    """Linear head: tokens (N, d) → pointmap (H, W, 3) + conf (H, W)."""
-    hp, wp = grid
-    out = linear(head, tokens)  # (N, p²·4)
-    out = out.reshape(hp, wp, patch, patch, 4)
-    out = out.transpose(0, 2, 1, 3, 4).reshape(hp * patch, wp * patch, 4)
-    pts = out[..., :3]
-    conf = 1.0 + jnp.exp(out[..., 3])  # DUSt3R's confidence activation
+def _postprocess(out):
+    """DUSt3R regression transforms: pts3d 'exp' mode (direction ×
+    expm1(norm)) + conf = 1 + exp (dust3r postprocess contract)."""
+    xyz = out[..., :3].astype(jnp.float32)
+    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    pts = xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
+    conf = 1.0 + jnp.exp(out[..., 3].astype(jnp.float32))
     return pts, conf
+
+
+def head_to_pointmap(head, hooks, grid, patch):
+    """Head (dpt or linear) → pointmap (H, W, 3) + conf (H, W)."""
+    hp, wp = grid
+    if "dpt" in head:
+        out = dpt.dpt_apply(head["dpt"], hooks, grid)
+    else:
+        out = linear(head["proj"], hooks[-1])  # (N, p²·4)
+        # torch pixel_shuffle layout: channel-major then (dy, dx)
+        out = out.reshape(hp, wp, 4, patch, patch)
+        out = out.transpose(0, 3, 1, 4, 2).reshape(
+            hp * patch, wp * patch, 4)
+    return _postprocess(out)
 
 
 def reciprocal_nn_3d(pts0, pts1, conf0, conf1, max_matches=2048,
@@ -157,10 +201,10 @@ def reciprocal_nn_3d(pts0, pts1, conf0, conf1, max_matches=2048,
 def forward_pair(params, image0, image1, conf):
     t0, grid = encode(params, image0, conf)
     t1, _ = encode(params, image1, conf)
-    d0, d1 = decode(params, t0, t1, conf)
-    pts0, conf0 = head_to_pointmap(params["head1"], d0, grid,
+    h0, h1 = decode(params, t0, t1, grid, conf)
+    pts0, conf0 = head_to_pointmap(params["downstream_head1"], h0, grid,
                                    conf["patch"])
-    pts1, conf1 = head_to_pointmap(params["head2"], d1, grid,
+    pts1, conf1 = head_to_pointmap(params["downstream_head2"], h1, grid,
                                    conf["patch"])
     k0, k1, score, valid = reciprocal_nn_3d(
         pts0, pts1, conf0, conf1,
@@ -197,7 +241,8 @@ class Duster(BaseModel):
         self._conf_key = tuple(sorted(
             {k: conf[k] for k in
              ("enc_dim", "enc_depth", "enc_heads", "dec_dim", "dec_depth",
-              "dec_heads", "patch", "max_matches", "subsample")}.items()
+              "dec_heads", "patch", "max_matches", "subsample",
+              "pos_embed", "head_type")}.items()
         ))
 
     def _forward(self, data):

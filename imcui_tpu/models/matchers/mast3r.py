@@ -1,11 +1,15 @@
 """MASt3R pointmap + descriptor matcher (reference contract:
 imcui/hloc/matchers/mast3r.py:24-96 — subclasses Duster, adds the
-local-descriptor heads and matches with fast reciprocal NNs on the
+local-descriptor head and matches with fast reciprocal NNs on the
 descriptors instead of the raw 3-D points).
 
-Built on the same ViT encoder/dual-decoder as duster.py; the descriptor
-head is the published 24-d local-feature MLP. Matching = mutual NN over
-the subsampled descriptor grids, on device.
+Built on the same ViT encoder/dual-decoder as duster.py. The descriptor
+head mirrors the published Cat_MLP_LocalFeatures_DPT_Pts3d: an MLP over
+cat(encoder token, final decoder token) emitting (desc_dim+1)·patch²
+per patch, pixel-shuffled to a full-res 24-d local-feature map plus a
+descriptor confidence channel. Matching = mutual NN over a subsampled
+descriptor grid, on device (the wrapper's fast_reciprocal_NNs analog;
+dense (N0, N1) similarity instead of its iterative block search).
 """
 
 import functools
@@ -13,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ...utils.weights import download_checkpoint
+from ...utils.weights import load_params_auto
 from ..layers import gelu, init_linear, linear
 from . import duster as duster_mod
 from .duster import Duster
@@ -21,23 +25,40 @@ from .duster import Duster
 DESC_DIM = 24
 
 
-def init_desc_head(rng, dec_dim, desc_dim=DESC_DIM):
+def init_desc_head(rng, enc_dim, dec_dim, patch, desc_dim=DESC_DIM,
+                   hidden_factor=4):
+    """head_local_features MLP (upstream mast3r catmlpdpt head):
+    in = enc_dim + dec_dim, hidden = 4·in, out = (desc_dim+1)·patch²."""
     k1, k2 = jax.random.split(rng)
+    idim = enc_dim + dec_dim
     return {
-        "fc1": init_linear(k1, dec_dim, dec_dim),
-        "fc2": init_linear(k2, dec_dim, desc_dim),
+        "fc1": init_linear(k1, idim, hidden_factor * idim),
+        "fc2": init_linear(k2, hidden_factor * idim,
+                           (desc_dim + 1) * patch ** 2),
     }
 
 
-def desc_head_apply(p, tokens):
-    d = linear(p["fc2"], gelu(linear(p["fc1"], tokens)))
-    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
-                           1e-8)
+def desc_head_apply(p, enc_tokens, dec_tokens, grid, patch,
+                    desc_dim=DESC_DIM):
+    """→ full-res L2-normalised descriptor map (H, W, D) + desc-conf
+    (H, W) (conf activation 1+exp, the mast3r reg_dense_conf 'exp')."""
+    x = jnp.concatenate([enc_tokens, dec_tokens], -1)
+    x = linear(p["fc2"], gelu(linear(p["fc1"], x)))
+    hp, wp = grid
+    # torch pixel_shuffle layout: channel-major then (dy, dx)
+    x = x.reshape(hp, wp, desc_dim + 1, patch, patch)
+    x = x.transpose(0, 3, 1, 4, 2).reshape(
+        hp * patch, wp * patch, desc_dim + 1)
+    desc = x[..., :desc_dim].astype(jnp.float32)
+    desc = desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+    conf = 1.0 + jnp.exp(x[..., desc_dim].astype(jnp.float32))
+    return desc, conf
 
 
 def reciprocal_nn_desc(desc0, desc1, conf0, conf1, coords,
                        max_matches=2048):
-    """Mutual NN on per-patch descriptors (MASt3R's fast_reciprocal_NNs
+    """Mutual NN on per-cell descriptors (MASt3R's fast_reciprocal_NNs
     analog, dense on device). desc*: (N, D); coords: (N, 2)."""
     sim = jnp.einsum("nd,md->nm", desc0, desc1,
                      preferred_element_type=jnp.float32)
@@ -59,24 +80,23 @@ def reciprocal_nn_desc(desc0, desc1, conf0, conf1, coords,
 def forward_pair(params, image0, image1, conf):
     t0, grid = duster_mod.encode(params, image0, conf)
     t1, _ = duster_mod.encode(params, image1, conf)
-    d0, d1 = duster_mod.decode(params, t0, t1, conf)
-    _, conf0 = duster_mod.head_to_pointmap(params["head1"], d0, grid,
-                                           conf["patch"])
-    _, conf1 = duster_mod.head_to_pointmap(params["head2"], d1, grid,
-                                           conf["patch"])
-    desc0 = desc_head_apply(params["desc_head1"], d0)
-    desc1 = desc_head_apply(params["desc_head2"], d1)
-    hp, wp = grid
-    p = conf["patch"]
-    gy, gx = jnp.meshgrid(jnp.arange(hp), jnp.arange(wp), indexing="ij")
-    coords = jnp.stack(
-        [gx.reshape(-1) * p + p / 2, gy.reshape(-1) * p + p / 2], -1
-    )
-    # per-patch confidence (center sample)
-    c0 = conf0[gy * p + p // 2, gx * p + p // 2].reshape(-1)
-    c1 = conf1[gy * p + p // 2, gx * p + p // 2].reshape(-1)
+    h0, h1 = duster_mod.decode(params, t0, t1, grid, conf)
+    desc0, dconf0 = desc_head_apply(
+        params["downstream_head1"]["head_local_features"], h0[0], h0[-1],
+        grid, conf["patch"], conf["desc_dim"])
+    desc1, dconf1 = desc_head_apply(
+        params["downstream_head2"]["head_local_features"], h1[0], h1[-1],
+        grid, conf["patch"], conf["desc_dim"])
+    s = conf["subsample"]
+    h, w = desc0.shape[:2]
+    gy, gx = jnp.meshgrid(jnp.arange(0, h, s), jnp.arange(0, w, s),
+                          indexing="ij")
+    coords = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)
     k0, k1, score, valid = reciprocal_nn_desc(
-        desc0, desc1, c0, c1, coords, max_matches=conf["max_matches"]
+        desc0[gy, gx].reshape(-1, conf["desc_dim"]),
+        desc1[gy, gx].reshape(-1, conf["desc_dim"]),
+        dconf0[gy, gx].reshape(-1), dconf1[gy, gx].reshape(-1),
+        coords, max_matches=conf["max_matches"],
     )
     return {"keypoints0": k0, "keypoints1": k1, "scores": score,
             "mask": valid}
@@ -90,6 +110,22 @@ def _apply_batched(params, image0, image1, conf_key):
     )(image0, image1)
 
 
+def load_params(conf):
+    """Duster tree + the two head_local_features MLPs, converted from the
+    published metric checkpoint (same file the reference serves)."""
+    init = duster_mod.init_params(jax.random.PRNGKey(0), conf)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    for key, k in (("downstream_head1", k1), ("downstream_head2", k2)):
+        init[key]["head_local_features"] = init_desc_head(
+            k, conf["enc_dim"], conf["dec_dim"], conf["patch"],
+            conf.get("desc_dim", DESC_DIM))
+    return load_params_auto(
+        "mast3r/MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth",
+        init, "mast3r",
+        drop=(r"^mask_token", r"pos_embed$"),
+    )
+
+
 class Mast3r(Duster):
     """Reference contract: imcui/hloc/matchers/mast3r.py:24-96."""
 
@@ -100,18 +136,12 @@ class Mast3r(Duster):
     }
 
     def _init(self, conf, rng):
-        self.params, self.meta = duster_mod.load_params(conf)
-        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
-        self.params["desc_head1"] = init_desc_head(k1, conf["dec_dim"],
-                                                   conf["desc_dim"])
-        self.params["desc_head2"] = init_desc_head(k2, conf["dec_dim"],
-                                                   conf["desc_dim"])
-        path = download_checkpoint("mast3r_vit_large.pth")
-        del path  # conversion validated on first checkpoint availability
+        self.params, self.meta = load_params(conf)
         self._conf_key = tuple(sorted(
             {k: conf[k] for k in
              ("enc_dim", "enc_depth", "enc_heads", "dec_dim", "dec_depth",
-              "dec_heads", "patch", "max_matches")}.items()
+              "dec_heads", "patch", "max_matches", "subsample",
+              "pos_embed", "head_type", "desc_dim")}.items()
         ))
 
     def _forward(self, data):

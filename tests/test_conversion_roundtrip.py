@@ -33,6 +33,23 @@ def _default_builder(mod, conf, init):
     return {None: W.tree_to_state_dict(init)}
 
 
+def _xfeat_builder(mod, conf, init):
+    """Emit the upstream XFeatModel names (plain head convs live at the
+    tail of their Sequentials) so the rename rules are exercised."""
+    sd = W.tree_to_state_dict(init)
+    ren = {"skip1.": "skip1.1.", "fusion_out.": "block_fusion.2.",
+           "heatmap_out.": "heatmap_head.2.",
+           "keypoint_out.": "keypoint_head.3."}
+    out = {}
+    for k, v in sd.items():
+        for ours, theirs in ren.items():
+            if k.startswith(ours):
+                k = theirs + k[len(ours):]
+                break
+        out[k] = v
+    return {None: out}
+
+
 def _dedode_builder(mod, conf, init):
     return {
         "dedode_detector_L.pth": W.tree_to_state_dict(init["detector"]),
@@ -55,8 +72,17 @@ CASES = [
     ("extractors.rekd", {}, None),
     ("extractors.ripe", {}, None),
     ("extractors.sfd2", {}, None),
+    ("extractors.xfeat", {}, _xfeat_builder),
     ("matchers.aspanformer", {}, None),
     ("matchers.cotr", {}, None),
+    ("matchers.duster",
+     {"enc_dim": 64, "enc_depth": 2, "enc_heads": 4, "dec_dim": 64,
+      "dec_depth": 2, "dec_heads": 4, "patch": 16,
+      "pos_embed": "RoPE100", "head_type": "dpt"}, None),
+    ("matchers.mast3r",
+     {"enc_dim": 64, "enc_depth": 2, "enc_heads": 4, "dec_dim": 64,
+      "dec_depth": 2, "dec_heads": 4, "patch": 16,
+      "pos_embed": "RoPE100", "head_type": "dpt", "desc_dim": 24}, None),
     ("matchers.eloftr", {}, None),
     ("matchers.imp", {}, None),
     ("matchers.jamma", {}, None),

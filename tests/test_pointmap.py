@@ -7,6 +7,7 @@ TINY = {
     "enc_dim": 64, "enc_depth": 2, "enc_heads": 4,
     "dec_dim": 64, "dec_depth": 2, "dec_heads": 4,
     "patch": 16, "max_matches": 64, "subsample": 8,
+    "pos_embed": "RoPE100", "head_type": "linear",
 }
 
 
@@ -73,6 +74,20 @@ def test_mast3r_contract(rng):
     img = rng.rand(1, 3, 64, 96).astype(np.float32)
     out = m({"image0": img, "image1": img.copy()})
     k0 = np.asarray(out["keypoints0"])
-    # MASt3R matches per-patch descriptors: 4×6 patches at 64×96/16
-    assert k0.shape == (1, 24, 2)
-    assert np.asarray(out["mask"][0]).shape == (24,)
+    # full-res descriptor map subsampled every 8 px → 8×12 = 96 cells,
+    # top max_matches=64 kept
+    assert k0.shape == (1, 64, 2)
+    assert np.asarray(out["mask"][0]).shape == (64,)
+
+
+def test_duster_dpt_head(rng):
+    """The published DPT pointmap head: dense full-res output through the
+    hook pyramid (exercised at tiny dims; conversion shares this tree)."""
+    from imcui_tpu.models.matchers.duster import Duster
+
+    conf = {**TINY, "head_type": "dpt"}
+    m = Duster(conf)
+    img = rng.rand(1, 3, 64, 96).astype(np.float32)
+    out = m({"image0": img, "image1": img.copy()})
+    assert np.asarray(out["keypoints0"]).shape == (1, 64, 2)
+    assert np.isfinite(np.asarray(out["scores"])).all()
