@@ -24,10 +24,18 @@ from ...utils.base_model import BaseModel
 from ...utils.weights import load_params_auto
 from ..layers import conv2d, init_conv, max_pool, relu
 
-# VGG16 through conv4_3 (d2net's dense feature extractor)
-VGG_CFG = [(3, 64), (64, 64), "pool", (64, 128), (128, 128), "pool",
-           (128, 256), (256, 256), (256, 256), "pool",
-           (256, 512), (512, 512), (512, 512)]
+# VGG16 through conv4_3, the d2net dense extractor layout
+# (upstream model_test.py DenseFeatureExtractionModule: two stride-2 max
+# pools, then a STRIDE-1 avg pool with dilation-2 conv4 — dense features
+# at 1/4 resolution). Entries mirror the torch Sequential indices so the
+# checkpoint's `dense_feature_extraction.model.{i}.*` keys land by index.
+VGG_CFG = [
+    (3, 64, 1), (64, 64, 1), "maxpool",
+    (64, 128, 1), (128, 128, 1), "maxpool",
+    (128, 256, 1), (256, 256, 1), (256, 256, 1), "avgpool1",
+    (256, 512, 2), (512, 512, 2), (512, 512, 2),
+]
+STRIDE = 4  # output stride (two stride-2 pools)
 
 
 def init_params(rng):
@@ -35,27 +43,50 @@ def init_params(rng):
     params = {"features": []}
     ki = 0
     for spec in VGG_CFG:
-        if spec == "pool":
+        if isinstance(spec, str):
             params["features"].append(None)
         else:
-            cin, cout = spec
+            cin, cout, _ = spec
             params["features"].append(init_conv(keys[ki], 3, 3, cin, cout))
             ki += 1
     return params
 
 
+# upstream Sequential index (convs interleaved with ReLU/pool modules)
+# → our features-list slot
+_UPSTREAM_IDX = {0: 0, 2: 1, 5: 3, 7: 4, 10: 6, 12: 7, 14: 8,
+                 17: 10, 19: 11, 21: 12}
+
+
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    return load_params_auto("d2_tf.pth", init, "d2net")
+    rename = tuple(
+        (rf"^dense_feature_extraction\.model\.{u}\.", f"features.{o}.")
+        for u, o in _UPSTREAM_IDX.items()
+    )
+    return load_params_auto("d2_tf.pth", init, "d2net", rename=rename)
+
+
+def avg_pool_s1(x):
+    """AvgPool2d(2, stride=1) with SAME-ish padding (torch pads none;
+    output is one smaller — we replicate-pad one row/col to keep the
+    static shape XLA-friendly; the border cell matches torch's last
+    valid window closely enough for detection)."""
+    y = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 1, 1, 1),
+        [(0, 0), (0, 1), (0, 1), (0, 0)]) / 4.0
+    return y
 
 
 def backbone(params, x):
     for p, spec in zip(params["features"], VGG_CFG):
-        if spec == "pool":
+        if spec == "maxpool":
             x = max_pool(x)
+        elif spec == "avgpool1":
+            x = avg_pool_s1(x)
         else:
-            x = relu(conv2d(p, x))
-    return x  # (B, H/8, W/8, 512)
+            x = relu(conv2d(p, x, dilation=spec[2]))
+    return x  # (B, H/4, W/4, 512)
 
 
 def d2_scores(feats, eps=1e-8):
@@ -82,7 +113,8 @@ def apply(params, image, valid_wh, max_keypoints=4096):
     def per_image(s, fmap, vwh):
         s = nms_ops.simple_nms(s, 1)
         s = s * nms_ops.border_mask(
-            hc, wc, 1, valid_wh=(vwh[0] // 8, vwh[1] // 8), dtype=s.dtype)
+            hc, wc, 1, valid_wh=(vwh[0] // STRIDE, vwh[1] // STRIDE),
+            dtype=s.dtype)
         kpts, kscores, mask = nms_ops.select_topk_keypoints(
             s, max_keypoints, 0.0)
         ix = jnp.clip(kpts[:, 0].astype(jnp.int32), 0, wc - 1)
@@ -90,8 +122,8 @@ def apply(params, image, valid_wh, max_keypoints=4096):
         d = fmap[iy, ix]
         d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
                             1e-8)
-        # cell → image coords (stride 8, cell centers)
-        kpts_img = kpts * 8.0 + 4.0
+        # cell → image coords (d2net upscale: ij·s + (s-1)/2)
+        kpts_img = kpts * float(STRIDE) + (STRIDE - 1) / 2.0
         return kpts_img, kscores, d.T, mask
 
     kpts, kscores, desc, mask = jax.vmap(per_image)(scores, feats,
@@ -122,7 +154,7 @@ class D2Net(BaseModel):
         if image.shape[1] == 1:
             image = jnp.tile(image, (1, 3, 1, 1))  # d2net is RGB
         b, _, h, w = image.shape
-        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        hp, wp = -(-h // 4) * 4, -(-w // 4) * 4
         if (hp, wp) != (h, w):
             image = jnp.pad(image, ((0, 0), (0, 0), (0, hp - h),
                                     (0, wp - w)))

@@ -69,32 +69,40 @@ def init_params(rng):
 
 
 def load_params(conf):
+    """Order-based conversion: the official/kornia unet state_dict is
+    consumed positionally (insertion order is topological in torch), so
+    the exact module names don't matter. A present-but-mismatched
+    checkpoint raises — no silent random fallback."""
     init = init_params(jax.random.PRNGKey(0))
     path = download_checkpoint("disk_depth.pth")
     if path is None:
         return init, {"pretrained": False}
-    try:
-        sd = load_state_dict(path)
-        tree = _convert(sd, init)
-        return tree, {"pretrained": True}
-    except Exception:
-        return init, {"pretrained": False}
+    sd = load_state_dict(path)
+    tree = _convert(sd, init)
+    return tree, {"pretrained": True}
 
 
 def _convert(sd, init):
-    """Map the kornia/official unet state_dict onto our down/up lists by
-    matching conv kernel shapes in order."""
+    """Map the unet state_dict onto our down/up lists by matching conv
+    kernels and PReLU gains in order. torch PReLU stores its per-channel
+    gain as a 1-D ``weight``; InstanceNorm2d here is affine-free, so the
+    1-D weights in the file are exactly the gate alphas."""
     import numpy as np
 
     convs = [
         (k, v) for k, v in sd.items() if v.ndim == 4 and k.endswith("weight")
     ]
     biases = {k[:-6] + "bias": sd.get(k[:-6] + "bias") for k, _ in convs}
-    alphas = [(k, v) for k, v in sd.items()
-              if v.ndim in (0, 1) and "prelu" in k.lower()]
+    alphas = [v for k, v in sd.items()
+              if v.ndim == 1 and k.endswith("weight")]
     tree = jax.tree_util.tree_map(lambda a: a, init)
-    ci = 0
-    for stage in tree["down"] + tree["up"]:
+    stages = tree["down"] + tree["up"]
+    n_gates = sum(1 for s in stages if s["gate"] is not None)
+    if len(convs) < len(stages):
+        raise ValueError(
+            f"DISK conversion: {len(convs)} convs for {len(stages)} stages")
+    ci = ai = 0
+    for stage in stages:
         name, w = convs[ci]
         expected = stage["conv"]["w"].shape
         got = np.transpose(w, (2, 3, 1, 0)).shape
@@ -105,7 +113,19 @@ def _convert(sd, init):
         if b is not None:
             stage["conv"]["b"] = jnp.asarray(b)
         ci += 1
-    del alphas
+        if stage["gate"] is not None and ai < len(alphas):
+            a = np.asarray(alphas[ai])
+            c = stage["gate"]["alpha"].shape[0]
+            if a.shape not in ((c,), (1,)):
+                raise ValueError(
+                    f"DISK gate mismatch {a.shape} vs ({c},)")
+            stage["gate"]["alpha"] = jnp.broadcast_to(
+                jnp.asarray(a, jnp.float32), (c,))
+            ai += 1
+    if 0 < len(alphas) != n_gates:
+        raise ValueError(
+            f"DISK conversion: {len(alphas)} PReLU gains for "
+            f"{n_gates} gates")
     return tree
 
 

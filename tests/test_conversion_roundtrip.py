@@ -33,6 +33,20 @@ def _default_builder(mod, conf, init):
     return {None: W.tree_to_state_dict(init)}
 
 
+def _netvlad_builder(mod, conf, init):
+    """Reference module names; score_proj as a torch Conv1d tensor."""
+    sd = {}
+    for idx, node in init["backbone"].items():
+        for k, v in W.tree_to_state_dict(node).items():
+            sd[f"backbone.{idx}.{k}"] = v
+    w = np.asarray(init["netvlad"]["score_proj"]["w"])  # (1,1,D,K)
+    sd["netvlad.score_proj.weight"] = np.transpose(w[0, 0])[:, :, None]
+    sd["netvlad.centers"] = np.asarray(init["netvlad"]["centers"])
+    for k, v in W.tree_to_state_dict(init["whiten"]).items():
+        sd[f"whiten.{k}"] = v
+    return {None: sd}
+
+
 def _xfeat_builder(mod, conf, init):
     """Emit the upstream XFeatModel names (plain head convs live at the
     tail of their Sequentials) so the rename rules are exercised."""
@@ -50,6 +64,34 @@ def _xfeat_builder(mod, conf, init):
     return {None: out}
 
 
+def _d2net_builder(mod, conf, init):
+    """d2_tf.pth names: dense_feature_extraction.model.<seq idx>.*"""
+    inv = {o: u for u, o in mod._UPSTREAM_IDX.items()}
+    sd = {}
+    for i, node in enumerate(init["features"]):
+        if node is None:
+            continue
+        for k, v in W.tree_to_state_dict(node).items():
+            sd[f"dense_feature_extraction.model.{inv[i]}.{k}"] = v
+    return {None: sd}
+
+
+def _disk_builder(mod, conf, init):
+    """Arbitrary upstream names (conversion is order-based): convs +
+    per-channel PReLU gains interleaved per stage, in traversal order."""
+    sd = {}
+    i = 0
+    for stage in init["down"] + init["up"]:
+        sd[f"unet.m{i}.conv.weight"] = np.transpose(
+            np.asarray(stage["conv"]["w"]), (3, 2, 0, 1))
+        sd[f"unet.m{i}.conv.bias"] = np.asarray(stage["conv"]["b"])
+        if stage["gate"] is not None:
+            sd[f"unet.m{i}.gate.weight"] = np.asarray(
+                stage["gate"]["alpha"])
+        i += 1
+    return {None: sd}
+
+
 def _dedode_builder(mod, conf, init):
     return {
         "dedode_detector_L.pth": W.tree_to_state_dict(init["detector"]),
@@ -61,11 +103,14 @@ def _dedode_builder(mod, conf, init):
 CASES = [
     ("extractors.alike", {"model_name": "alike-n"}, None),
     ("extractors.aliked", {"model_name": "aliked-n16"}, None),
+    ("extractors.d2net", {}, _d2net_builder),
     ("extractors.darkfeat", {}, None),
     ("extractors.dedode", {}, _dedode_builder),
+    ("extractors.disk", {}, _disk_builder),
     ("extractors.fire", {}, None),
     ("extractors.lanet", {}, None),
     ("extractors.liftfeat", {}, None),
+    ("extractors.netvlad", {}, _netvlad_builder),
     ("extractors.r2d2", {}, None),
     ("extractors.raco", {}, None),
     ("extractors.rdd", {}, None),
@@ -108,12 +153,74 @@ def _trees_equal(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
 
 
+def test_cosplace_conversion(tmp_path, monkeypatch):
+    """gmberton/cosplace naming: torchvision-Sequential trunk indices +
+    aggregation.(1.p|3.*) head (shared by EigenPlaces)."""
+    from imcui_tpu.models.extractors import cosplace as cp
+
+    conf = {"backbone": "ResNet18", "fc_output_dim": 512}
+    init = cp.init_params(jax.random.PRNGKey(0), "ResNet18", 512)
+    prefix_map = {"conv1.": "backbone.0.", "bn1.": "backbone.1.",
+                  "layer1.": "backbone.4.", "layer2.": "backbone.5.",
+                  "layer3.": "backbone.6.", "layer4.": "backbone.7."}
+    sd = {}
+    for k, v in W.tree_to_state_dict(init["backbone"]).items():
+        for ours, theirs in prefix_map.items():
+            if k.startswith(ours):
+                k = theirs + k[len(ours):]
+                break
+        sd[k] = torch.tensor(np.asarray(v))
+    sd["aggregation.1.p"] = torch.tensor(np.asarray(init["gem"]["p"]))
+    for k, v in W.tree_to_state_dict(init["fc"]).items():
+        sd[f"aggregation.3.{k}"] = torch.tensor(np.asarray(v))
+    path = tmp_path / "cosplace_ResNet18_512.pth"
+    torch.save(sd, path)
+    monkeypatch.setattr(W, "download_checkpoint", lambda *a, **k: path)
+    model = cp.CosPlace(conf)
+    assert model.meta["pretrained"] is True
+    _trees_equal(model.params, init)
+
+
+def test_dog_hardnet_conversion(tmp_path, monkeypatch):
+    """Class-based loader: 7 bias-free convs + affine-free BN stats in
+    module order (upstream HardNet state_dict layout)."""
+    from imcui_tpu.models.extractors import dog as dog_mod
+
+    init = dog_mod.init_hardnet(jax.random.PRNGKey(1))
+    sd = {}
+    for i, blk in enumerate(init["features"]):
+        j = i * 3
+        sd[f"features.{j}.weight"] = torch.tensor(
+            np.transpose(np.asarray(blk["conv"]["w"]), (3, 2, 0, 1)))
+        mean = np.random.default_rng(i).normal(size=(
+            blk["bn"]["mean"].shape[0],)).astype(np.float32)
+        sd[f"features.{j + 1}.running_mean"] = torch.tensor(mean)
+        sd[f"features.{j + 1}.running_var"] = torch.tensor(mean ** 2 + 1)
+        sd[f"features.{j + 1}.num_batches_tracked"] = torch.zeros(
+            (), dtype=torch.long)
+    path = tmp_path / "hardnet_liberty.pth"
+    torch.save(sd, path)
+    monkeypatch.setattr(dog_mod, "download_checkpoint",
+                        lambda *a, **k: path)
+    model = dog_mod.DoG({"descriptor": "hardnet"})
+    assert model.meta["pretrained"] is True
+    got = np.asarray(model.net_params["features"][3]["bn"]["mean"])
+    np.testing.assert_allclose(
+        got, np.asarray(sd["features.10.running_mean"]))
+
+
 @pytest.mark.parametrize(
     "suffix,conf,builder", CASES, ids=[c[0] for c in CASES])
 def test_conversion_roundtrip(suffix, conf, builder, tmp_path, monkeypatch):
     mod = importlib.import_module(f"imcui_tpu.models.{suffix}")
+
+    def patch_download(fn):
+        monkeypatch.setattr(W, "download_checkpoint", fn)
+        if hasattr(mod, "download_checkpoint"):  # module-local import
+            monkeypatch.setattr(mod, "download_checkpoint", fn)
+
     # offline pass → deterministic random init (the conversion target)
-    monkeypatch.setattr(W, "download_checkpoint", lambda *a, **k: None)
+    patch_download(lambda *a, **k: None)
     init, meta = mod.load_params(dict(conf))
     assert meta["pretrained"] is False
 
@@ -131,7 +238,7 @@ def test_conversion_roundtrip(suffix, conf, builder, tmp_path, monkeypatch):
             return paths[None]
         return paths.get(filename)
 
-    monkeypatch.setattr(W, "download_checkpoint", fake_download)
+    patch_download(fake_download)
     params, meta = mod.load_params(dict(conf))
     assert meta["pretrained"] is True, f"{suffix}: checkpoint not consumed"
     _trees_equal(params, init)
