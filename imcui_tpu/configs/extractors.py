@@ -306,3 +306,7 @@ confs = {
         "preprocessing": {"resize_max": 1024},
     },
 }
+
+# reference config/app.yaml names the DoG+patch-CNN features plainly
+confs["hardnet"] = confs["dog-hardnet"]
+confs["sosnet"] = confs["dog-sosnet"]

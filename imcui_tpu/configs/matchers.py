@@ -270,6 +270,13 @@ confs = {
         "max_error": 1,
         "cell_size": 1,
     },
+    "example": {
+        "output": "matches-example",
+        "model": {"name": "example", "match_threshold": 0.2},
+        "preprocessing": {"grayscale": True, "resize_max": 1024,
+                          "dfactor": 8},
+        "max_error": 1, "cell_size": 1,
+    },
     "xfeat-lightglue": {
         "output": "matches-xfeat-lightglue",
         "model": {
@@ -917,3 +924,6 @@ confs = {
         },
     },
 }
+
+# reference config/app.yaml refers to this conf with an underscore
+confs["xfeat_lightglue"] = confs["xfeat-lightglue"]

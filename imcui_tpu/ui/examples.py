@@ -15,7 +15,7 @@ from .. import DATASETS_REPO_ID, logger
 EXAMPLE_ALGOS = [
     "superpoint+lightglue",
     "superglue",
-    "superpoint+NN",
+    "superpoint+mnn",
     "superpoint+dual-softmax",
     "loftr",
 ]

@@ -24,7 +24,7 @@ def test_run_matching_ui_panels(app):
         match_threshold=0.0,
         extract_max_keypoints=2000,
         keypoint_threshold=1e-4,
-        key="sift+NN",  # handcrafted → meaningful even offline
+        key="sift",  # handcrafted → meaningful even offline
     )
     for panel in (kpts_img, raw_img, ransac_img):
         assert isinstance(panel, np.ndarray)
@@ -39,7 +39,7 @@ def test_rerun_ransac_from_state(app):
     *_, pred = app.run_matching_ui(
         img0, img0.copy(),
         match_threshold=0.0, extract_max_keypoints=512,
-        keypoint_threshold=1e-4, key="sift+NN",
+        keypoint_threshold=1e-4, key="sift",
     )
     img, stats = app._rerun(dict(pred), "TPU_LORANSAC", 8.0, 0.9999, 2000)
     assert stats["num_ransac_matches"] > 50  # self-pair: most survive
