@@ -310,18 +310,36 @@ class GlueStick(BaseModel):
         u0 = np.clip(g0 * 255, 0, 255).astype(np.uint8)
         u1 = np.clip(g1 * 255, 0, 255).astype(np.uint8)
 
-        # keypoints + dense descriptor maps (one batched forward)
-        feats = self.sp({"image": np.stack([g0, g1])[:, None]})
-        x = jnp.asarray(np.stack([g0, g1])[:, :, :, None], jnp.float32)
-        trunk = sp_mod.backbone(self.sp.params, x)
-        dmaps = np.asarray(sp_mod.dense_descriptors(self.sp.params, trunk))
+        # keypoints + dense descriptor maps — one batched forward when the
+        # pair shares a shape, per-image forwards otherwise (UI pairs are
+        # generally different sizes)
+        if g0.shape == g1.shape:
+            feats = self.sp({"image": np.stack([g0, g1])[:, None]})
+            x = jnp.asarray(np.stack([g0, g1])[:, :, :, None], jnp.float32)
+            trunk = sp_mod.backbone(self.sp.params, x)
+            dmaps = np.asarray(
+                sp_mod.dense_descriptors(self.sp.params, trunk))
+            f0 = {k: np.asarray(v[0]) for k, v in feats.items()}
+            f1 = {k: np.asarray(v[1]) for k, v in feats.items()}
+            dmap0, dmap1 = dmaps[0], dmaps[1]
+        else:
+            def run_sp(g):
+                fe = self.sp({"image": g[None, None]})
+                xg = jnp.asarray(g[None, :, :, None], jnp.float32)
+                dm = np.asarray(sp_mod.dense_descriptors(
+                    self.sp.params, sp_mod.backbone(self.sp.params, xg)))[0]
+                return {k: np.asarray(v[0]) for k, v in fe.items()}, dm
 
-        d0 = np.asarray(feats["descriptors"][0]).T
-        d1 = np.asarray(feats["descriptors"][1]).T
-        m0 = np.asarray(feats["mask"][0])
-        m1 = np.asarray(feats["mask"][1])
-        kpts0 = np.asarray(feats["keypoints"][0])
-        kpts1 = np.asarray(feats["keypoints"][1])
+            f0, dmap0 = run_sp(g0)
+            f1, dmap1 = run_sp(g1)
+        dmaps = [dmap0, dmap1]
+
+        d0 = f0["descriptors"].T
+        d1 = f1["descriptors"].T
+        m0 = f0["mask"]
+        m1 = f1["mask"]
+        kpts0 = f0["keypoints"]
+        kpts1 = f1["keypoints"]
 
         # line detection (shared by both matching paths)
         lines0 = detect_lines(u0, self.conf["max_lines"],

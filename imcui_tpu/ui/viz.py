@@ -93,6 +93,58 @@ def plot_matches(kpts0, kpts1, color=None, lw=1.5, ps=4, a=1.0, fig=None):
     return fig
 
 
+def _distinct_colors(n, seed=0):
+    """n visually-distinct RGB colors via evenly-spaced hues (stands in
+    for the reference's seaborn husl palette without the dependency)."""
+    if n == 0:
+        return np.zeros((0, 3))
+    hues = (np.arange(n) / max(n, 1) + 0.13) % 1.0
+    rng = np.random.default_rng(seed)
+    rng.shuffle(hues)
+    import colorsys
+
+    return np.array([colorsys.hsv_to_rgb(h, 0.9, 0.85) for h in hues])
+
+
+def plot_color_line_matches(lines, correct_matches=None, lw=2.0,
+                            indices=(0, 1), fig=None):
+    """Draw matched line segments in per-match colors on an existing
+    two-image figure (reference parity: imcui/ui/viz.py:119-170
+    plot_color_line_matches — same (N,2,2) segment convention, same
+    low-alpha treatment of incorrect matches).
+
+    Args:
+        lines: list of two (N, 2, 2) arrays of [endpoint0, endpoint1]
+            in (x, y) pixel coordinates, one per image.
+        correct_matches: optional (N,) bool; wrong matches get alpha .2.
+    """
+    if fig is None:
+        fig = plt.gcf()
+    n_lines = len(lines[0])
+    colors = _distinct_colors(n_lines)
+    alphas = np.ones(n_lines)
+    if correct_matches is not None:
+        alphas[~np.asarray(correct_matches)] = 0.2
+    axes = [fig.axes[i] for i in indices]
+    fig.canvas.draw()
+    transFigure = fig.transFigure.inverted()
+    for a, segs in zip(axes, lines):
+        segs = np.asarray(segs, dtype=float)
+        if segs.size == 0:
+            continue
+        e0 = transFigure.transform(a.transData.transform(segs[:, 0]))
+        e1 = transFigure.transform(a.transData.transform(segs[:, 1]))
+        fig.lines += [
+            matplotlib.lines.Line2D(
+                (e0[i, 0], e1[i, 0]), (e0[i, 1], e1[i, 1]),
+                zorder=1, transform=fig.transFigure,
+                c=colors[i], alpha=alphas[i], linewidth=lw,
+            )
+            for i in range(len(segs))
+        ]
+    return fig
+
+
 def add_text(idx, text, pos=(0.01, 0.99), fs=15, color="w",
              lcolor="k", lwidth=2, ha="left", va="top"):
     """Reference parity: imcui/hloc/utils/viz.py add_text."""
@@ -157,14 +209,51 @@ def display_matches(pred: dict, titles=None, tag="KPTS_RAW",
         mkpts0 = pred.get("mmkeypoints0_orig")
         mkpts1 = pred.get("mmkeypoints1_orig")
         mconf = pred.get("mmconf")
+    # reference emits line0_orig/line1_orig; our dense pipeline emits
+    # lines0_orig/lines1_orig — accept both spellings
+    lines0 = pred.get("lines0_orig", pred.get("line0_orig"))
+    lines1 = pred.get("lines1_orig", pred.get("line1_orig"))
     if titles is None:
         titles = ["Image 0 - matched", "Image 1 - matched"]
-    fig = plot_images([img0, img1], titles=titles, dpi=dpi)
     if mkpts0 is not None and mkpts1 is not None and len(mkpts0):
+        fig = plot_images([img0, img1], titles=titles, dpi=dpi)
         num_inliers = len(mkpts0)
         if mconf is None or len(mconf) != len(mkpts0):
             mconf = np.ones(len(mkpts0))
         color = error_colormap(1.0 - np.asarray(mconf), thr=0.5, alpha=0.6)
         plot_matches(mkpts0, mkpts1, color=color, fig=fig)
         add_text(0, f"# matches: {num_inliers}", fs=15)
+        return fig2im(fig), num_inliers
+    if lines0 is not None and lines1 is not None and len(lines0):
+        # line-matcher branch (reference parity: imcui/ui/viz.py:474-508
+        # — colored line segments; endpoint-match panel stacked below
+        # when line keypoints exist)
+        num_inliers = len(lines0)
+        fig = plot_images(
+            [np.squeeze(img0), np.squeeze(img1)],
+            titles=["Image 0 - matched lines", "Image 1 - matched lines"],
+            dpi=dpi,
+        )
+        plot_color_line_matches([lines0, lines1], lw=2, fig=fig)
+        im_lines = fig2im(fig)
+        lk0 = pred.get("line_keypoints0_orig")
+        lk1 = pred.get("line_keypoints1_orig")
+        if lk0 is not None and lk1 is not None and len(lk0):
+            num_inliers = len(lk0)
+            mconf = pred.get("mconf")
+            if mconf is None or len(mconf) != len(lk0):
+                mconf = np.ones(len(lk0))
+            fig2 = plot_images([img0, img1], titles=titles, dpi=dpi)
+            color = error_colormap(1.0 - np.asarray(mconf), thr=0.5,
+                                   alpha=0.6)
+            plot_matches(lk0, lk1, color=color, fig=fig2)
+            add_text(0, f"# line matches: {num_inliers}", fs=15)
+            im_kpts = fig2im(fig2)
+            if im_lines.shape[1] != im_kpts.shape[1]:
+                # widths can differ by a pixel from dpi rounding — crop
+                w = min(im_lines.shape[1], im_kpts.shape[1])
+                im_lines, im_kpts = im_lines[:, :w], im_kpts[:, :w]
+            return np.concatenate([im_kpts, im_lines], axis=0), num_inliers
+        return im_lines, num_inliers
+    fig = plot_images([img0, img1], titles=titles, dpi=dpi)
     return fig2im(fig), num_inliers

@@ -48,3 +48,30 @@ def test_line_match_dense_ui_path(gluestick):
     assert "lines0" in ret and "line_keypoints0_orig" in ret
     assert len(ret["lines0"][0] if ret["lines0"].ndim == 4
                else ret["lines0"]) > 0
+
+
+def test_display_matches_line_branch(gluestick):
+    """display_matches must render line matchers as colored segments
+    (reference parity: imcui/ui/viz.py:474-508) instead of an empty
+    point panel."""
+    from imcui_tpu.pipeline import match_dense
+    from imcui_tpu.ui.viz import display_matches
+
+    img = (crop() * 255).astype(np.uint8)
+    ret = match_dense.match_images(
+        gluestick, img, img.copy(),
+        {"grayscale": True, "resize_max": 256, "dfactor": 8},
+    )
+    pred = dict(ret)
+    pred["image0_orig"] = np.stack([img] * 3, -1)
+    pred["image1_orig"] = np.stack([img] * 3, -1)
+    # squeeze the batch dim the way the UI path does
+    for k in ("lines0_orig", "lines1_orig",
+              "line_keypoints0_orig", "line_keypoints1_orig"):
+        if k in pred and np.asarray(pred[k]).ndim > 3 - ("keypoints" in k):
+            pred[k] = np.asarray(pred[k])[0]
+    im, n = display_matches(pred, tag="KPTS_RAW")
+    assert n > 0
+    assert im.ndim == 3 and im.shape[2] == 3
+    # stacked panel: endpoint matches above + colored lines below
+    assert im.shape[0] > 400

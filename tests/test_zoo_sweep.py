@@ -3,6 +3,8 @@ test_all — iterate the whole matcher zoo on one real image pair through
 ImageMatchingAPI; entries tagged skip_ci are skipped, mirroring the
 reference's CI cost-control flag)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -15,7 +17,12 @@ IMG1 = "/root/reference/tests/data/17295357_9106075285.jpg"
 
 cfg = load_config("/root/repo/config/app.yaml")
 ZOO = get_matcher_zoo(cfg["matcher_zoo"])
-KEYS = [k for k, v in ZOO.items() if not v.get("skip_ci", False)]
+# IMCUI_ZOO_SWEEP=all (the scheduled zoo-slow CI lane) sweeps every
+# entry, skip_ci included; the default fast lane honours skip_ci.
+if os.environ.get("IMCUI_ZOO_SWEEP") == "all":
+    KEYS = sorted(ZOO)
+else:
+    KEYS = [k for k, v in ZOO.items() if not v.get("skip_ci", False)]
 
 
 def small_preprocessing(conf):
