@@ -28,6 +28,7 @@ from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
 from ...utils.weights import (assert_tree_matches, download_checkpoint,
                               load_state_dict, state_dict_to_tree)
+from .. import layers
 from ..layers import conv2d, init_conv, max_pool, relu
 
 CONV_SPECS = [
@@ -62,13 +63,30 @@ def load_params(conf):
 
 
 def backbone(params, x):
-    """Shared VGG encoder. x: (B, H, W, 1) → (B, H/8, W/8, 128)."""
-    x = relu(conv2d(params["conv1a"], x))
-    x = relu(conv2d(params["conv1b"], x))
-    x = max_pool(x)
-    x = relu(conv2d(params["conv2a"], x))
-    x = relu(conv2d(params["conv2b"], x))
-    x = max_pool(x)
+    """Shared VGG encoder. x: (B, H, W, 1) → (B, H/8, W/8, 128).
+
+    Stages 1–2 (the C=64 layers, ~75% of trunk time at 1024²) run
+    width-folded: horizontal pixel pairs are packed into channels so the
+    convs hit the MXU's full 128-lane width (see layers.fold_conv3x3;
+    exact-equivalent, measured 26.8 → ~16 ms for the trunk at 8×1024²).
+    Falls back to the plain layout when W isn't divisible by 16 / H by 4
+    (preprocessing pads to dfactor=8, so the fast path is the norm)."""
+    b, h, w, _ = x.shape
+    if h % 4 == 0 and w % 16 == 0:
+        y = layers.fold_width(x)                              # (B,H,W/2,2)
+        y = relu(conv2d(layers.fold_conv3x3(params["conv1a"]), y))
+        y = relu(conv2d(layers.fold_conv3x3(params["conv1b"]), y))
+        y = layers.max_pool_folded(y)                     # (B,H/2,W/4,128)
+        y = relu(conv2d(layers.fold_conv3x3(params["conv2a"]), y))
+        y = relu(conv2d(layers.fold_conv3x3(params["conv2b"]), y))
+        x = layers.max_pool_folded(y, refold=False)        # (B,H/4,W/4,64)
+    else:
+        x = relu(conv2d(params["conv1a"], x))
+        x = relu(conv2d(params["conv1b"], x))
+        x = max_pool(x)
+        x = relu(conv2d(params["conv2a"], x))
+        x = relu(conv2d(params["conv2b"], x))
+        x = max_pool(x)
     x = relu(conv2d(params["conv3a"], x))
     x = relu(conv2d(params["conv3b"], x))
     x = max_pool(x)

@@ -61,6 +61,66 @@ def batch_norm_inference(p, x, eps=1e-5):
     return y
 
 
+def fold_width(x):
+    """(B, H, W, C) → (B, H, W/2, 2C): pack horizontal pixel pairs into
+    channels. TPU rationale: the MXU is 128 lanes wide, so convs with
+    C<128 waste half the systolic array AND the lane-padded activations
+    double HBM traffic. Folding doubles the conv FLOPs (the folded
+    kernel is half zeros) but runs them at ~100% MXU utilisation —
+    measured 13.8 ms → 5.7 ms for SuperPoint's conv1b at 8×1024²
+    (tools/profile_trunk.py). Exact-equivalent, not an approximation."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def unfold_width(x):
+    """Inverse of fold_width."""
+    b, h, w2, c2 = x.shape
+    return x.reshape(b, h, w2 * 2, c2 // 2)
+
+
+def fold_conv3x3(p):
+    """Width-folded equivalent of a 3×3 SAME conv: returns params pf such
+    that conv2d(pf, fold_width(x)) == fold_width(conv2d(p, x)) exactly,
+    for even-width x. Derivation: output pixel 2w₂ takes taps from real
+    pixels 2w₂−1..2w₂+1 = folded slots (w₂−1, hi), (w₂, lo), (w₂, hi);
+    pixel 2w₂+1 takes (w₂, lo), (w₂, hi), (w₂+1, lo)."""
+    w = p["w"]
+    kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3, "fold_conv3x3 expects a 3×3 kernel"
+    wf = jnp.zeros((3, 3, 2 * cin, 2 * cout), w.dtype)
+    # even outputs (folded cout 0:cout)
+    wf = wf.at[:, 0, cin:, :cout].set(w[:, 0])
+    wf = wf.at[:, 1, :cin, :cout].set(w[:, 1])
+    wf = wf.at[:, 1, cin:, :cout].set(w[:, 2])
+    # odd outputs (folded cout cout:2cout)
+    wf = wf.at[:, 1, :cin, cout:].set(w[:, 0])
+    wf = wf.at[:, 1, cin:, cout:].set(w[:, 1])
+    wf = wf.at[:, 2, :cin, cout:].set(w[:, 2])
+    pf = {"w": wf}
+    if "b" in p and p["b"] is not None:
+        pf["b"] = jnp.concatenate([p["b"], p["b"]])
+    return pf
+
+
+def max_pool_folded(x, refold=True):
+    """2×2/stride-2 max-pool on a width-folded tensor. Input
+    (B, H, W₂, 2C) [= real width 2W₂]; output (B, H/2, W₂/2, 2C) folded
+    when refold else (B, H/2, W₂, C) unfolded.
+
+    Lowering note (measured, tools/profile_trunk.py): the vertical max
+    must be a reshape+reduce — strided slices (x[:, 0::2]) cost 8 ms vs
+    3.2 ms at 8×1024² — and the refold reshape merges exact 128-lane
+    tiles, which is free."""
+    b, h, w2, c2 = x.shape
+    c = c2 // 2
+    v = x.reshape(b, h // 2, 2, w2, c2).max(2)   # vertical pairs
+    m = jnp.maximum(v[..., :c], v[..., c:])      # horizontal pairs
+    if refold:
+        return m.reshape(b, h // 2, w2 // 2, c2)
+    return m
+
+
 def max_pool(x, window=2, stride=2):
     """x: (B, H, W, C)."""
     return lax.reduce_window(

@@ -1,0 +1,63 @@
+"""Width-folded conv equivalence (layers.fold_conv3x3 & friends).
+
+The folded layout is the round-2 throughput lever for the C=64 VGG
+stages (BASELINE.md); these tests pin exact equivalence so the fast path
+can never drift from the published SuperPoint semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imcui_tpu.models import layers
+from imcui_tpu.models.extractors import superpoint as sp
+
+
+def test_fold_conv3x3_exact():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 24, 64), jnp.float32)
+    p = {
+        "w": jax.random.normal(jax.random.PRNGKey(1), (3, 3, 64, 64)) * 0.05,
+        "b": jax.random.normal(jax.random.PRNGKey(2), (64,)) * 0.1,
+    }
+    y_ref = layers.conv2d(p, x)
+    y_fold = layers.unfold_width(
+        layers.conv2d(layers.fold_conv3x3(p), layers.fold_width(x)))
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_max_pool_folded_exact():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 16, 64))
+    ref = layers.max_pool(x)
+    got_unfolded = layers.max_pool_folded(layers.fold_width(x),
+                                          refold=False)
+    np.testing.assert_array_equal(np.asarray(got_unfolded), np.asarray(ref))
+    got_folded = layers.unfold_width(
+        layers.max_pool_folded(layers.fold_width(x), refold=True))
+    np.testing.assert_array_equal(np.asarray(got_folded), np.asarray(ref))
+
+
+def test_superpoint_backbone_folded_matches_plain():
+    """The folded fast path (W%16==0) must equal the plain stage-1/2
+    layout bit-for-bit up to conv reassociation."""
+    params = sp.init_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 32, 32, 1))
+
+    def plain_backbone(params, x):
+        c = lambda n, a: layers.relu(layers.conv2d(params[n], a))
+        y = c("conv1a", x)
+        y = c("conv1b", y)
+        y = layers.max_pool(y)
+        y = c("conv2a", y)
+        y = c("conv2b", y)
+        y = layers.max_pool(y)
+        y = c("conv3a", y)
+        y = c("conv3b", y)
+        y = layers.max_pool(y)
+        y = c("conv4a", y)
+        return c("conv4b", y)
+
+    got = sp.backbone(params, x)      # W=32 → folded fast path
+    ref = plain_backbone(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
