@@ -71,15 +71,35 @@ def backbone(params, x):
     exact-equivalent, measured 26.8 → ~16 ms for the trunk at 8×1024²).
     Falls back to the plain layout when W isn't divisible by 16 / H by 4
     (preprocessing pads to dfactor=8, so the fast path is the norm)."""
+    from ...ops import pallas_stage1
+
     b, h, w, _ = x.shape
     if h % 4 == 0 and w % 16 == 0:
+        # the fused Pallas tail is bf16-internal; keep the f32 path on
+        # pure XLA so `precision="fp32"` stays exact
+        use_pallas = x.dtype == jnp.bfloat16
+
+        def stage(y, pa, pb, hh, ww2):
+            """conv_a → relu → conv_b → relu → pool, folded; fused Pallas
+            tail when shapes/backend allow, folded XLA otherwise."""
+            fa = layers.fold_conv3x3(pa)
+            fb = layers.fold_conv3x3(pb)
+            if use_pallas and pallas_stage1.supported(hh, ww2):
+                y_raw = conv2d({"w": fa["w"]}, y)     # no bias/relu: fused
+                return pallas_stage1.stage_tail(
+                    y_raw.astype(jnp.bfloat16), fa["b"], fb["w"], fb["b"])
+            y = relu(conv2d(fa, y))
+            y = relu(conv2d(fb, y))
+            return layers.max_pool_folded(y)
+
         y = layers.fold_width(x)                              # (B,H,W/2,2)
-        y = relu(conv2d(layers.fold_conv3x3(params["conv1a"]), y))
-        y = relu(conv2d(layers.fold_conv3x3(params["conv1b"]), y))
-        y = layers.max_pool_folded(y)                     # (B,H/2,W/4,128)
-        y = relu(conv2d(layers.fold_conv3x3(params["conv2a"]), y))
-        y = relu(conv2d(layers.fold_conv3x3(params["conv2b"]), y))
-        x = layers.max_pool_folded(y, refold=False)        # (B,H/4,W/4,64)
+        y = stage(y, params["conv1a"], params["conv1b"], h, w // 2)
+        y = stage(y, params["conv2a"], params["conv2b"], h // 2, w // 4)
+        # y is folded (B,H/4,W/8,128): conv3a consumes the folded layout
+        # directly (its folded kernel is (3,3,128,256)), then unfolding
+        # the 256-lane output is a free reshape
+        x = layers.unfold_width(
+            relu(conv2d(layers.fold_conv3x3(params["conv3a"]), y)))
     else:
         x = relu(conv2d(params["conv1a"], x))
         x = relu(conv2d(params["conv1b"], x))
@@ -87,7 +107,7 @@ def backbone(params, x):
         x = relu(conv2d(params["conv2a"], x))
         x = relu(conv2d(params["conv2b"], x))
         x = max_pool(x)
-    x = relu(conv2d(params["conv3a"], x))
+        x = relu(conv2d(params["conv3a"], x))
     x = relu(conv2d(params["conv3b"], x))
     x = max_pool(x)
     x = relu(conv2d(params["conv4a"], x))

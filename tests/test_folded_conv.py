@@ -61,3 +61,33 @@ def test_superpoint_backbone_folded_matches_plain():
     ref = plain_backbone(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_pallas_stage_tail_interpret():
+    """The fused Pallas stage tail must match the folded XLA path; runs
+    in interpreter mode so CI exercises it without a TPU."""
+    import pytest
+
+    from imcui_tpu.ops import pallas_stage1 as ps1
+
+    if ps1.pl is None:
+        pytest.skip("pallas unavailable")
+    key = jax.random.PRNGKey(0)
+    pa = {"w": jax.random.normal(key, (3, 3, 1, 64)) * 0.3,
+          "b": jax.random.normal(jax.random.PRNGKey(5), (64,)) * 0.1}
+    pb = {"w": jax.random.normal(jax.random.PRNGKey(1), (3, 3, 64, 64)) * 0.05,
+          "b": jax.random.normal(jax.random.PRNGKey(6), (64,)) * 0.1}
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 256, 1))
+    fa = layers.fold_conv3x3(pa)
+    fb = layers.fold_conv3x3(pb)
+    y_raw = layers.conv2d({"w": fa["w"].astype(jnp.bfloat16)},
+                          layers.fold_width(x).astype(jnp.bfloat16))
+    h1 = layers.relu(y_raw + fa["b"].astype(jnp.bfloat16))
+    z = layers.relu(layers.conv2d({"w": fb["w"].astype(jnp.bfloat16)},
+                                  h1.astype(jnp.bfloat16)) + fb["b"])
+    ref = layers.max_pool_folded(z, refold=True)
+    got = ps1.stage_tail(y_raw.astype(jnp.bfloat16), fa["b"], fb["w"],
+                         fb["b"], interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
