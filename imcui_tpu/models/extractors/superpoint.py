@@ -172,6 +172,10 @@ def apply(
         x = x.astype(jnp.bfloat16)
     feats = backbone(cparams, x)
     heat = dense_scores(cparams, feats)  # (B, H, W) f32
+    # pin the heatmap: without this barrier XLA rematerialises the
+    # depth-to-space relayout into every NMS reduce_window consumer
+    # (measured +10.3 ms vs +3.4 ms at 8×1024²)
+    heat = jax.lax.optimization_barrier(heat)
     desc_map = dense_descriptors(cparams, feats)  # (B, Hc, Wc, 256) f32
 
     h, w = heat.shape[-2:]
