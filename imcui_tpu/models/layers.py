@@ -16,9 +16,9 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def conv2d(p, x, stride=1, padding="SAME", dilation=1):
-    """2-D convolution. p: {"w": (kh, kw, cin, cout), "b": (cout,)?};
-    x: (B, H, W, C)."""
+def conv2d(p, x, stride=1, padding="SAME", dilation=1, groups=1):
+    """2-D convolution. p: {"w": (kh, kw, cin/groups, cout), "b": (cout,)?};
+    x: (B, H, W, C). groups=C with cout=C is a depthwise conv."""
     s = (stride, stride) if isinstance(stride, int) else stride
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
     out = lax.conv_general_dilated(
@@ -28,6 +28,7 @@ def conv2d(p, x, stride=1, padding="SAME", dilation=1):
         padding=padding,
         rhs_dilation=d,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
     if "b" in p and p["b"] is not None:
         out = out + p["b"]

@@ -35,12 +35,17 @@ def _apply_batched(params, image0, image1, max_matches):
         warp01, cert01 = roma_mod.match(params, a, b)
         warp10, cert10 = roma_mod.match(params, b, a)
         h, w = a.shape[0], a.shape[1]
+        # warp grid stride: 8 on the fpn-corr fallback, 1 on the full
+        # DINOv2+GP RoMa (whose refiners go to stride 1)
+        stride = h // cert01.shape[0]
+        off = stride / 2.0 if stride > 1 else 0.0
 
         def detect(cert):
             s = nms_ops.simple_nms(cert, 2)
             kpts, kscores, mask = nms_ops.select_topk_keypoints(
                 s, max_matches, 0.0)
-            kpts = nms_ops.soft_argmax_refinement(kpts, cert) * 8.0 + 4.0
+            kpts = (nms_ops.soft_argmax_refinement(kpts, cert) * stride
+                    + off)
             kpts = jnp.clip(kpts, 0.0,
                             jnp.asarray([w - 1.0, h - 1.0], kpts.dtype))
             return kpts, kscores, mask
@@ -48,9 +53,9 @@ def _apply_batched(params, image0, image1, max_matches):
         k0, s0, m0 = detect(cert01)
         k1, s1, m1 = detect(cert10)
 
-        # transport k0 through the warp: bilinear-sample the /8 warp
-        # field at k0's (float) cell coordinates
-        k0c = (k0 - 4.0) / 8.0
+        # transport k0 through the warp: bilinear-sample the warp field
+        # at k0's (float) grid coordinates
+        k0c = (k0 - off) / stride
         hc, wc = cert01.shape
         x = jnp.clip(k0c[:, 0], 0.0, wc - 1.001)
         y = jnp.clip(k0c[:, 1], 0.0, hc - 1.001)
@@ -104,14 +109,29 @@ class DadRoma(BaseModel):
     def _forward(self, data):
         image0 = jnp.asarray(data["image0"], jnp.float32)
         image1 = jnp.asarray(data["image1"], jnp.float32)
+        gp = "dinov2" in self.params
 
         def prep(img):
             x = img.transpose(0, 2, 3, 1)
-            if x.shape[-1] == 3:
+            if gp:  # full RoMa: RGB at coarse_res (/14-divisible)
+                if x.shape[-1] == 1:
+                    x = jnp.tile(x, (1, 1, 1, 3))
+                ch, cw = self.conf["coarse_res"]
+                x = jax.image.resize(x, (x.shape[0], ch, cw, 3), "bilinear")
+            elif x.shape[-1] == 3:
                 x = x.mean(-1, keepdims=True)
             return x
 
         out = _apply_batched(self.params, prep(image0), prep(image1),
                              int(self.conf["max_keypoints"]))
+        if gp:  # coarse_res pixels → model-input pixels
+            h0, w0 = image0.shape[-2:]
+            h1, w1 = image1.shape[-2:]
+            ch, cw = self.conf["coarse_res"]
+            out = dict(out)
+            out["keypoints0"] = out["keypoints0"] * jnp.asarray(
+                [(w0 - 1) / (cw - 1), (h0 - 1) / (ch - 1)])
+            out["keypoints1"] = out["keypoints1"] * jnp.asarray(
+                [(w1 - 1) / (cw - 1), (h1 - 1) / (ch - 1)])
         out["mconf"] = out["scores"]
         return out

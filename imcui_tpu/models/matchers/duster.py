@@ -102,9 +102,15 @@ def encode(params, image, conf):
     pos = vit.grid_positions(hp, wp) if rope else None
     if rope is None:
         tokens = tokens + vit.sincos_pos_embed(hp, wp, tokens.shape[-1])
+
+    def step(blk, t):
+        return vit.encoder_block_apply(blk, t, conf["enc_heads"],
+                                       pos=pos, rope_base=rope)
+
+    if conf.get("remat"):  # trade FLOPs for HBM on the ViT-L encoder
+        step = jax.checkpoint(step)
     for blk in params["enc_blocks"]:
-        tokens = vit.encoder_block_apply(blk, tokens, conf["enc_heads"],
-                                         pos=pos, rope_base=rope)
+        tokens = step(blk, tokens)
     return vit.layer_norm(params["enc_norm"], tokens), (hp, wp)
 
 
@@ -117,12 +123,18 @@ def decode(params, t0, t1, grid, conf):
     d0 = linear(params["decoder_embed"], t0)
     d1 = linear(params["decoder_embed"], t1)
     outs0, outs1 = [t0], [t1]
-    for b0, b1 in zip(params["dec_blocks"], params["dec_blocks2"]):
+
+    def step(b0, b1, d0, d1):
         d0n = vit.decoder_block_apply(b0, d0, d1, conf["dec_heads"],
                                       pos=pos, kpos=pos, rope_base=rope)
-        d1 = vit.decoder_block_apply(b1, d1, d0, conf["dec_heads"],
-                                     pos=pos, kpos=pos, rope_base=rope)
-        d0 = d0n
+        d1n = vit.decoder_block_apply(b1, d1, d0, conf["dec_heads"],
+                                      pos=pos, kpos=pos, rope_base=rope)
+        return d0n, d1n
+
+    if conf.get("remat"):
+        step = jax.checkpoint(step)
+    for b0, b1 in zip(params["dec_blocks"], params["dec_blocks2"]):
+        d0, d1 = step(b0, b1, d0, d1)
         outs0.append(d0)
         outs1.append(d1)
     outs0[-1] = vit.layer_norm(params["dec_norm"], outs0[-1])

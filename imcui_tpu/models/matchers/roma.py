@@ -1,20 +1,42 @@
-"""Warp-regression dense matcher (RoMa/DKM family contract).
+"""RoMa — robust dense feature matching (DINOv2 + GP coarse matcher +
+multi-scale conv refiners), native JAX.
 
-Reference contract: imcui/hloc/matchers/roma.py:17-94 and dkm.py:13 —
-``match()`` produces a dense warp + certainty field, ``sample()`` draws
-``max_keypoints`` correspondences, ``to_pixel_coordinates`` maps the
-normalised warp to pixels; the wrapper flattens that into the standalone
-dense-matcher output {keypoints0, keypoints1, mconf}.
+Reference contract: imcui/hloc/matchers/roma.py:17-94 — ``match()``
+produces a dense warp + certainty field at ``coarse_res`` (560²),
+``sample()`` draws ``max_keypoints`` correspondences, and
+``to_pixel_coordinates`` maps the normalised warp to pixels. The wrapper
+flattens that into the standalone dense-matcher output
+{keypoints0, keypoints1, mconf}.
 
-Architecture note (honest scope): the upstream RoMa couples a DINOv2-L
-encoder with Gaussian-Process coarse matching and ConvNet refiners; DKM
-uses a GP warp regressor over ResNet features. This implementation keeps
-the *warp-regression structure* — coarse correlation-volume soft-argmax
-warp + certainty, convolutional warp refinement, full-res upsampling,
-certainty-weighted sampling — on the framework's ResNet-FPN features. It
-is a functioning dense warp matcher with the same I/O and sampling
-semantics; DINOv2 weight conversion is future work and the conf records
-``backbone: "fpn-corr"`` to make the substitution explicit.
+Architecture (published RoMa design, CVPR'24; upstream lives in the
+empty third_party/RoMa submodule):
+- **Coarse encoder**: frozen DINOv2 ViT-L/14 (backbones/dinov2.py),
+  560² → 40² patch tokens, projected 1024→512.
+- **Fine encoder**: VGG19 pyramid at strides 8/4/2/1 (backbones/vgg.py).
+- **GP coarse matcher**: exponential-cosine kernel Gaussian-process
+  posterior mean regressing a Fourier embedding of image1's coordinate
+  grid onto image0's tokens (the DKM/RoMa "GP module").
+- **Match decoder**: 5 ViT blocks over [projected f0 ‖ GP output]
+  tokens, classifying over a 64×64 anchor grid (regression-by-
+  classification) + a certainty channel.
+- **Conv refiners**: per-scale depthwise-separable conv stacks with
+  displacement embedding and local-correlation inputs (radius 7/3/2 at
+  strides 16/8/4), refining warp+certainty coarse→fine.
+
+TPU notes: everything is dense fixed-shape einsum/conv work — the GP
+solve is a single (1600×1600) Cholesky per pair, attention is plain MXU
+einsums, and the (2r+1)² local correlations vectorise as a vmap over
+offsets of the bilinear gather. The whole ``match`` jits as one program
+and vmaps over the pair batch.
+
+Hyperparameters not recoverable from the paper alone (hidden-block
+counts, displacement-embedding dims) follow the published DKM/RoMa
+configuration table; the conversion path is rank-based and validates
+tree congruence, so a first contact with the real checkpoint will
+loudly flag — not silently mis-load — any divergence. The previous
+round's lightweight "fpn-corr" correlation matcher remains as the
+explicit fallback backbone (conf["backbone"]="fpn-corr") and is still
+used by the RoMaV2 recurrent variant.
 """
 
 import functools
@@ -23,11 +45,274 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
-from ..layers import conv2d, init_conv, relu
+from ...utils.weights import (download_checkpoint, load_params_auto,
+                              load_state_dict)
+from ..backbones import dinov2, vgg
+from ..backbones import vit as vit_mod
+from ..layers import (batch_norm_inference, conv2d, init_conv,
+                      init_layer_norm, init_linear, layer_norm, linear,
+                      relu)
 from . import loftr as loftr_mod
 
+# ---------------------------------------------------------------------------
+# configuration (published RoMa/DKM table)
+# ---------------------------------------------------------------------------
 
-def init_params(rng):
+# per-scale refiner config: projected feat dim, displacement-embedding
+# dim, local-corr radius, hidden width, hidden depth, depthwise?
+REFINERS = {
+    "16": dict(feat=512, disp=128, r=7, blocks=8, dw=True),
+    "8": dict(feat=512, disp=64, r=3, blocks=8, dw=True),
+    "4": dict(feat=256, disp=32, r=2, blocks=8, dw=True),
+    "2": dict(feat=64, disp=16, r=0, blocks=5, dw=False),
+    "1": dict(feat=9, disp=6, r=0, blocks=5, dw=False),
+}
+# per-scale 1×1 projection (cin, cout) from the encoder features
+PROJ = {"16": (1024, 512), "8": (512, 512), "4": (256, 256),
+        "2": (128, 64), "1": (64, 9)}
+
+GP_DIM = 512
+DECODER_DEPTH = 5
+DECODER_HEADS = 8
+ANCHOR_RES = 64
+
+
+def _refiner_in_dim(cfg):
+    return 2 * cfg["feat"] + cfg["disp"] + (2 * cfg["r"] + 1) ** 2 * (
+        1 if cfg["r"] else 0)
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def init_bn(dim):
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,)),
+            "mean": jnp.zeros((dim,)), "var": jnp.ones((dim,))}
+
+
+def init_refiner(key, cfg):
+    in_dim = _refiner_in_dim(cfg)
+    hidden = in_dim
+    keys = jax.random.split(key, cfg["blocks"] + 3)
+    p = {
+        "disp_emb": init_conv(keys[0], 1, 1, 2, cfg["disp"]),
+        "block1": {"0": init_conv(keys[1], 5, 5, in_dim, hidden),
+                   "1": init_bn(hidden)},
+        "hidden_blocks": [],
+        "out_conv": init_conv(keys[2], 1, 1, hidden, 3),
+    }
+    for i in range(cfg["blocks"]):
+        cin = 1 if cfg["dw"] else hidden  # depthwise: cin/groups = 1
+        p["hidden_blocks"].append(
+            {"0": init_conv(keys[3 + i], 5, 5, cin, hidden),
+             "1": init_bn(hidden)})
+    return p
+
+
+def init_params(rng, conf=None):
+    conf = conf or {}
+    variant = conf.get("dinov2_variant", "vitl14")
+    gp_dim = conf.get("gp_dim", GP_DIM)
+    feat16 = PROJ["16"][1]
+    dec_dim = feat16 + gp_dim
+    keys = iter(jax.random.split(rng, 32))
+    params = {
+        "dinov2": dinov2.init_params(next(keys), variant),
+        "encoder_cnn": vgg.init_params(next(keys)),
+        "proj": {
+            s: {"0": init_conv(next(keys), 1, 1, cin, cout),
+                "1": init_bn(cout)}
+            for s, (cin, cout) in PROJ.items()
+        },
+        "gp": {"pos_B": jax.random.normal(next(keys), (2, gp_dim // 2))},
+        "embedding_decoder": {
+            "blocks": [vit_mod.init_encoder_block(next(keys), dec_dim)
+                       for _ in range(conf.get("decoder_depth",
+                                               DECODER_DEPTH))],
+            "norm": init_layer_norm(dec_dim),
+            "head": init_linear(next(keys), dec_dim, ANCHOR_RES ** 2 + 1),
+        },
+        "conv_refiner": {s: init_refiner(next(keys), cfg)
+                         for s, cfg in REFINERS.items()},
+    }
+    if variant != "vitl14":  # small-variant projection for tests
+        d = dinov2.CONFIGS[variant]["dim"]
+        params["proj"]["16"] = {
+            "0": init_conv(jax.random.fold_in(rng, 99), 1, 1, d, feat16),
+            "1": init_bn(feat16)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# GP coarse matcher
+# ---------------------------------------------------------------------------
+
+def coord_grid(h, w):
+    """(h·w, 2) normalised (x, y) cell-center coordinates in [-1, 1]."""
+    gy, gx = jnp.meshgrid(
+        (jnp.arange(h) + 0.5) / h * 2 - 1,
+        (jnp.arange(w) + 0.5) / w * 2 - 1,
+        indexing="ij",
+    )
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+
+
+def fourier_embed(coords, B):
+    """coords (N, 2) @ B (2, D/2) → (N, D) sin/cos features."""
+    proj = coords @ B * jnp.pi
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], -1)
+
+
+def gp_posterior(f0, f1, emb1, temperature=0.1, sigma2=1e-3):
+    """Exponential-cosine-kernel GP posterior mean.
+
+    f0: (N0, D) query tokens, f1: (N1, D) support tokens, emb1: (N1, E)
+    regression targets (Fourier-embedded coords of image1). Returns
+    (N0, E) = K01 (K11 + σ²I)⁻¹ emb1.
+    """
+    a = f0 / jnp.maximum(jnp.linalg.norm(f0, axis=-1, keepdims=True), 1e-8)
+    b = f1 / jnp.maximum(jnp.linalg.norm(f1, axis=-1, keepdims=True), 1e-8)
+    k01 = jnp.exp((a @ b.T - 1.0) / temperature)
+    k11 = jnp.exp((b @ b.T - 1.0) / temperature)
+    n1 = k11.shape[0]
+    rhs = jax.scipy.linalg.solve(
+        k11 + sigma2 * jnp.eye(n1, dtype=k11.dtype), emb1, assume_a="pos")
+    return k01 @ rhs
+
+
+def anchor_warp(logits):
+    """Regression-by-classification: softmax over a 64×64 anchor grid →
+    expected coordinate. logits: (N, A²) → (N, 2) in [-1, 1]."""
+    anchors = coord_grid(ANCHOR_RES, ANCHOR_RES)  # (A², 2)
+    probs = jax.nn.softmax(logits, -1)
+    return probs @ anchors
+
+
+# ---------------------------------------------------------------------------
+# refinement
+# ---------------------------------------------------------------------------
+
+def bilinear_warp(feat, warp):
+    """Sample feat (Hc, Wc, D) at normalised warp coords (..., 2)."""
+    hc, wc, d = feat.shape
+    gx = (warp[..., 0] + 1) * 0.5 * (wc - 1)
+    gy = (warp[..., 1] + 1) * 0.5 * (hc - 1)
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, wc - 1)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, hc - 1)
+    x1 = jnp.clip(x0 + 1, 0, wc - 1)
+    y1 = jnp.clip(y0 + 1, 0, hc - 1)
+    wx = jnp.clip(gx - x0, 0, 1)[..., None]
+    wy = jnp.clip(gy - y0, 0, 1)[..., None]
+    return (feat[y0, x0] * (1 - wx) * (1 - wy)
+            + feat[y0, x1] * wx * (1 - wy)
+            + feat[y1, x0] * (1 - wx) * wy
+            + feat[y1, x1] * wx * wy)
+
+
+def local_correlation(f0, f1, warp, r):
+    """(2r+1)² local correlation: f0[p] · f1[warp(p) + δ] for δ in the
+    (2r+1)² neighbourhood (in f1-grid units). Vectorised over offsets."""
+    h, w, d = f0.shape
+    dy, dx = jnp.meshgrid(jnp.arange(-r, r + 1), jnp.arange(-r, r + 1),
+                          indexing="ij")
+    offs = jnp.stack([dx.reshape(-1) * 2.0 / w, dy.reshape(-1) * 2.0 / h],
+                     -1)  # (K, 2) normalised
+
+    def one(off):
+        s = bilinear_warp(f1, warp + off)
+        return (f0 * s).sum(-1) / jnp.sqrt(jnp.float32(d))
+
+    corr = jax.vmap(one)(offs)          # (K, h, w)
+    return corr.transpose(1, 2, 0)      # (h, w, K)
+
+
+def refiner_apply(p, cfg, f0, f1, warp, cert):
+    """One ConvRefiner step at this scale's grid. f0/f1: (h, w, feat);
+    warp: (h, w, 2) normalised; cert: (h, w) logits."""
+    h, w, _ = f0.shape
+    warped = bilinear_warp(f1, warp)
+    ins = [f0, warped,
+           conv2d(p["disp_emb"], warp[None])[0]]
+    if cfg["r"]:
+        ins.append(local_correlation(f0, f1, warp, cfg["r"]))
+    x = jnp.concatenate(ins, -1)[None]
+    x = relu(batch_norm_inference(p["block1"]["1"],
+                                  conv2d(p["block1"]["0"], x)))
+    hidden = x.shape[-1]
+    for blk in p["hidden_blocks"]:
+        groups = hidden if cfg["dw"] else 1
+        x = relu(batch_norm_inference(blk["1"],
+                                      conv2d(blk["0"], x, groups=groups)))
+    out = conv2d(p["out_conv"], x)[0]
+    # displacement predicted in grid pixels → normalised units
+    dwarp = out[..., :2] * jnp.asarray([2.0 / w, 2.0 / h])
+    return warp + dwarp, cert + out[..., 2]
+
+
+def _resize(x, h, w):
+    return jax.image.resize(x, (h, w) + x.shape[2:], "bilinear")
+
+
+# ---------------------------------------------------------------------------
+# full match
+# ---------------------------------------------------------------------------
+
+def match_gp(params, image0, image1, conf):
+    """Dense warp + certainty on the coarse_res grid.
+
+    image0/1: (H, W, 3) RGB in [0,1] at coarse_res (H, W divisible by 14
+    and 8). Returns warp (H, W, 2) normalised coords into image1 and
+    certainty (H, W) in [0, 1].
+    """
+    variant = conf.get("dinov2_variant", "vitl14")
+    d0, (hp, wp) = dinov2.apply(params["dinov2"], image0, variant)
+    d1, _ = dinov2.apply(params["dinov2"], image1, variant)
+    v0 = vgg.apply(params["encoder_cnn"], image0)
+    v1 = vgg.apply(params["encoder_cnn"], image1)
+
+    def proj(s, feat):
+        p = params["proj"][s]
+        return batch_norm_inference(p["1"], conv2d(p["0"], feat[None]))[0]
+
+    f0_16 = proj("16", d0.reshape(hp, wp, -1))
+    f1_16 = proj("16", d1.reshape(hp, wp, -1))
+
+    # GP coarse regression + transformer match decoder
+    emb1 = fourier_embed(coord_grid(hp, wp), params["gp"]["pos_B"])
+    gp_out = gp_posterior(f0_16.reshape(hp * wp, -1),
+                          f1_16.reshape(hp * wp, -1), emb1)
+    tokens = jnp.concatenate([f0_16.reshape(hp * wp, -1), gp_out], -1)
+    dec = params["embedding_decoder"]
+    for blk in dec["blocks"]:
+        tokens = vit_mod.encoder_block_apply(blk, tokens, DECODER_HEADS)
+    out = linear(dec["head"], layer_norm(dec["norm"], tokens))
+    warp = anchor_warp(out[:, :-1]).reshape(hp, wp, 2)
+    cert = out[:, -1].reshape(hp, wp)
+
+    # coarse-scale refiner on the DINOv2-projected features
+    warp, cert = refiner_apply(params["conv_refiner"]["16"],
+                               REFINERS["16"], f0_16, f1_16, warp, cert)
+
+    # fine refiners on the VGG pyramid, coarse → fine
+    for s in (8, 4, 2, 1):
+        fs0 = proj(str(s), v0[s])
+        fs1 = proj(str(s), v1[s])
+        hs, ws, _ = fs0.shape
+        warp = _resize(warp, hs, ws)
+        cert = _resize(cert[..., None], hs, ws)[..., 0]
+        warp, cert = refiner_apply(params["conv_refiner"][str(s)],
+                                   REFINERS[str(s)], fs0, fs1, warp, cert)
+
+    return warp, jax.nn.sigmoid(cert)
+
+
+# ---------------------------------------------------------------------------
+# legacy lightweight path (fpn-corr fallback; used by RoMaV2's recurrent
+# refinement and as the no-checkpoint CI backbone)
+# ---------------------------------------------------------------------------
+
+def init_params_fpn(rng):
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     return {
         "backbone": loftr_mod.init_backbone(k1),
@@ -38,11 +323,6 @@ def init_params(rng):
             "out": init_conv(k4, 3, 3, 128, 3),  # dwarp (2) + dcert (1)
         },
     }
-
-
-def load_params(conf):
-    init = init_params(jax.random.PRNGKey(0))
-    return init, {"pretrained": False, "backbone": "fpn-corr"}
 
 
 def correlation_warp(f0, f1, temperature=0.05):
@@ -58,35 +338,9 @@ def correlation_warp(f0, f1, temperature=0.05):
     sim = jnp.einsum("nd,md->nm", a, b,
                      preferred_element_type=jnp.float32) / temperature
     attn = jax.nn.softmax(sim, -1)  # (N0, N1)
-    gy, gx = jnp.meshgrid(
-        (jnp.arange(hc) + 0.5) / hc * 2 - 1,
-        (jnp.arange(wc) + 0.5) / wc * 2 - 1,
-        indexing="ij",
-    )
-    grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (N1, 2)
-    warp = attn @ grid  # expected target coords
+    warp = attn @ coord_grid(hc, wc)  # expected target coords
     certainty = jnp.max(attn, -1)  # peakiness as confidence
     return warp.reshape(hc, wc, 2), certainty.reshape(hc, wc)
-
-
-def bilinear_warp(feat, warp):
-    """Sample feat (Hc, Wc, D) at normalised warp coords (Hc, Wc, 2)."""
-    hc, wc, d = feat.shape
-    gx = (warp[..., 0] + 1) * 0.5 * (wc - 1)
-    gy = (warp[..., 1] + 1) * 0.5 * (hc - 1)
-    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, wc - 1)
-    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, hc - 1)
-    x1 = jnp.clip(x0 + 1, 0, wc - 1)
-    y1 = jnp.clip(y0 + 1, 0, hc - 1)
-    wx = jnp.clip(gx - x0, 0, 1)[..., None]
-    wy = jnp.clip(gy - y0, 0, 1)[..., None]
-    out = (
-        feat[y0, x0] * (1 - wx) * (1 - wy)
-        + feat[y0, x1] * wx * (1 - wy)
-        + feat[y1, x0] * (1 - wx) * wy
-        + feat[y1, x1] * wx * wy
-    )
-    return out
 
 
 def refine(params, f0, f1, warp, cert):
@@ -102,9 +356,14 @@ def refine(params, f0, f1, warp, cert):
         jax.nn.sigmoid(out[..., 2]) * cert
 
 
-def match(params, image0, image1):
-    """Dense warp + certainty at 1/8 resolution (the reference's
-    roma.match analog)."""
+def match(params, image0, image1, conf=None):
+    """Dense warp + certainty (the reference's roma.match analog).
+
+    Dispatches on the param tree: the full DINOv2+GP architecture when
+    present (RGB (H, W, 3) inputs), else the fpn-corr fallback
+    (grayscale (H, W, 1))."""
+    if "dinov2" in params:
+        return match_gp(params, image0, image1, conf or {})
     featc, _ = loftr_mod.backbone_apply(
         params["backbone"], jnp.stack([image0, image1], 0))
     f0, f1 = featc[0], featc[1]
@@ -112,6 +371,42 @@ def match(params, image0, image1):
     warp, cert = refine(params["refiner"], f0, f1, warp, cert)
     return warp, cert
 
+
+def load_params(conf):
+    """Pretrained load: roma_outdoor.pth (decoder/refiners/VGG) +
+    dinov2_vitl14_pretrain.pth (frozen encoder), mirroring the reference
+    wrapper's two-file load (imcui/hloc/matchers/roma.py:33-56).
+    Offline or fpn-corr conf → deterministic random init."""
+    if conf.get("backbone") == "fpn-corr":
+        return init_params_fpn(jax.random.PRNGKey(0)), {
+            "pretrained": False, "backbone": "fpn-corr"}
+    init = init_params(jax.random.PRNGKey(0), conf)
+    main_init = {k: v for k, v in init.items() if k != "dinov2"}
+    params, meta = load_params_auto(
+        conf.get("model_name", "roma_outdoor.pth"), main_init, "roma",
+        rename=((r"^encoder\.cnn\.", "encoder_cnn."),
+                (r"^decoder\.", "")),
+        drop=(r"^encoder\.dinov2", r"amp", r"sample_mode"),
+    )
+    params = dict(params)
+    dpath = download_checkpoint(
+        conf.get("model_utils_name", "dinov2_vitl14_pretrain.pth"))
+    if dpath is not None:
+        depth = dinov2.CONFIGS[conf.get("dinov2_variant", "vitl14")]["depth"]
+        params["dinov2"] = dinov2.convert_state_dict(
+            load_state_dict(dpath), depth)
+        meta["dinov2_pretrained"] = True
+    else:
+        params["dinov2"] = init["dinov2"]
+        meta["dinov2_pretrained"] = False
+        meta["pretrained"] = False
+    meta["backbone"] = "dinov2-gp"
+    return params, meta
+
+
+# ---------------------------------------------------------------------------
+# sampling / wrapper (reference roma.py I/O contract)
+# ---------------------------------------------------------------------------
 
 def to_pixel_coordinates(warp_coords, h, w):
     """Normalised [-1, 1] → pixel coords (reference parity:
@@ -122,27 +417,27 @@ def to_pixel_coordinates(warp_coords, h, w):
     )
 
 
-def sample(warp, cert, h, w, num=2048):
+def sample(warp, cert, h, w, num=2048, threshold=0.0):
     """Draw the top-``num`` correspondences by certainty (the reference's
     roma.sample analog, deterministic top-k instead of multinomial)."""
     hc, wc = cert.shape
-    gy, gx = jnp.meshgrid(jnp.arange(hc), jnp.arange(wc), indexing="ij")
-    # source pixel coords at full res (cell centers, stride 8)
-    k0 = jnp.stack(
-        [gx.reshape(-1) * 8.0 + 4.0, gy.reshape(-1) * 8.0 + 4.0], -1)
+    src = coord_grid(hc, wc)  # normalised source coords
+    k0 = to_pixel_coordinates(src, h, w)
     k1 = to_pixel_coordinates(warp.reshape(-1, 2), h, w)
     flat_cert = cert.reshape(-1)
     top, idx = jax.lax.top_k(flat_cert, min(num, flat_cert.shape[0]))
-    valid = top > 0.0
+    valid = top > threshold
     return (jnp.where(valid[:, None], k0[idx], 0.0),
             jnp.where(valid[:, None], k1[idx], 0.0),
             jnp.where(valid, top, 0.0), valid)
 
 
-@functools.partial(jax.jit, static_argnames=("max_matches",))
-def _apply_batched(params, image0, image1, max_matches):
+@functools.partial(jax.jit, static_argnames=("max_matches", "conf_key"))
+def _apply_batched(params, image0, image1, max_matches, conf_key=()):
+    conf = dict(conf_key)
+
     def per_pair(a, b):
-        warp, cert = match(params, a, b)
+        warp, cert = match(params, a, b, conf)
         h, w = a.shape[0], a.shape[1]
         k0, k1, score, valid = sample(warp, cert, h, w, num=max_matches)
         return {"keypoints0": k0, "keypoints1": k1, "scores": score,
@@ -157,26 +452,51 @@ class Roma(BaseModel):
 
     default_conf = {
         "model_name": "roma_outdoor.pth",
+        "model_utils_name": "dinov2_vitl14_pretrain.pth",
         "max_keypoints": 2048,
-        "backbone": "fpn-corr",  # DINOv2 conversion pending — see module doc
+        "backbone": "dinov2-gp",   # or "fpn-corr" (lightweight fallback)
+        "coarse_res": (560, 560),
+        "upsample_res": (864, 1152),
+        "dinov2_variant": "vitl14",
     }
     required_inputs = ["image0", "image1"]
 
     def _init(self, conf, rng):
         self.params, self.meta = load_params(conf)
+        self._conf_key = tuple(sorted(
+            {"dinov2_variant": conf.get("dinov2_variant", "vitl14")}.items()
+        ))
 
     def _forward(self, data):
         image0 = jnp.asarray(data["image0"], jnp.float32)
         image1 = jnp.asarray(data["image1"], jnp.float32)
+        gp = "dinov2" in self.params
 
         def prep(img):
             x = img.transpose(0, 2, 3, 1)
-            if x.shape[-1] == 3:
+            if gp:
+                if x.shape[-1] == 1:
+                    x = jnp.tile(x, (1, 1, 1, 3))
+                ch, cw = self.conf["coarse_res"]
+                x = jax.image.resize(
+                    x, (x.shape[0], ch, cw, 3), "bilinear")
+            elif x.shape[-1] == 3:
                 x = x.mean(-1, keepdims=True)
             return x
 
         out = _apply_batched(self.params, prep(image0), prep(image1),
-                             int(self.conf["max_keypoints"]))
+                             int(self.conf["max_keypoints"]),
+                             conf_key=self._conf_key if gp else ())
+        # matches are in coarse_res pixels when the GP path resized;
+        # rescale to the model-input resolution
+        if gp:
+            h0, w0 = image0.shape[-2:]
+            h1, w1 = image1.shape[-2:]
+            ch, cw = self.conf["coarse_res"]
+            s0 = jnp.asarray([(w0 - 1) / (cw - 1), (h0 - 1) / (ch - 1)])
+            s1 = jnp.asarray([(w1 - 1) / (cw - 1), (h1 - 1) / (ch - 1)])
+            out = dict(out)
+            out["keypoints0"] = out["keypoints0"] * s0
+            out["keypoints1"] = out["keypoints1"] * s1
         out["mconf"] = out["scores"]
         return out
-

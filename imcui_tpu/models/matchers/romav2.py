@@ -22,7 +22,10 @@ from . import roma as roma_mod
 
 
 def load_params(conf):
-    return roma_mod.load_params(conf)
+    # the recurrent variant builds on the lightweight correlation-warp
+    # machinery (module docstring scope note); the full DINOv2+GP RoMa
+    # lives in matchers/roma.py
+    return roma_mod.load_params({**conf, "backbone": "fpn-corr"})
 
 
 def balanced_sample(warp, cert, h, w, num=2048):

@@ -94,6 +94,65 @@ def shard_flagship_params(params, mesh):
     return out
 
 
+# ---------------------------------------------------------------------------
+# tensor-parallel sharding rules for the ViT-L-class trees
+# (DUSt3R/MASt3R encoder+decoder — models/backbones/vit.py — and DINOv2
+# — models/backbones/dinov2.py). Megatron layout: fused qkv / q,k,v /
+# mlp-fc1 column-parallel, attention-out / mlp-fc2 row-parallel; XLA's
+# SPMD partitioner derives the all-reduces over ICI from the shardings.
+# ---------------------------------------------------------------------------
+
+_COL = ("qkv", "projq", "projk", "projv", "fc1")
+_ROW_OUT = ("fc2",)
+
+
+def _vit_spec(path, leaf):
+    from jax.sharding import PartitionSpec as P
+
+    names = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+    if leaf.ndim not in (1, 2):
+        return P()  # convs (patch embed, dpt head), pos embeds
+    in_attn = any(n in ("attn", "cross_attn") for n in names)
+    is_w = names and names[-1] == "w"
+    is_b = names and names[-1] == "b"
+    if any(n in _COL for n in names):
+        if is_w:
+            return P(None, "model")
+        if is_b:
+            return P("model")
+        return P()
+    row = any(n in _ROW_OUT for n in names) or ("proj" in names and in_attn)
+    if row:
+        if is_w:
+            return P("model", None)
+        return P()  # row-parallel bias added once post-all-reduce
+    return P()
+
+
+def shard_vit_params(params, mesh):
+    """Tensor-parallel placement for a ViT param tree (DUSt3R's
+    encoder/decoder or DINOv2 blocks) over the ``model`` axis."""
+
+    def put(path, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, _vit_spec(path,
+                                                                  leaf)))
+
+    return jax.tree_util.tree_map_with_path(put, params)
+
+
+def shard_duster_params(params, mesh):
+    """DUSt3R: transformer stacks tensor-parallel, heads replicated."""
+    if mesh.shape["model"] == 1:
+        return replicate(params, mesh)
+    out = {}
+    for k, v in params.items():
+        if k in ("enc_blocks", "dec_blocks", "dec_blocks2"):
+            out[k] = shard_vit_params(v, mesh)
+        else:
+            out[k] = replicate(v, mesh)
+    return out
+
+
 def pad_batch_to(tree, batch):
     """Pad every leaf's leading axis up to ``batch`` (serving: fill the
     last partial pair-batch so the compiled shape is reused)."""

@@ -113,3 +113,33 @@ def test_graft_entry_compiles():
         lambda p, a, b: step(p, a, b, valid, valid, key)
     ).lower(params, im, im)
     assert lowered.compile() is not None
+
+
+def test_duster_tp_exactness(eight_devices):
+    """ViT-L-class tp (VERDICT r1 item 7): DUSt3R at reduced depth,
+    sharded dp=2 × tp=2 with remat, must match the single-device run."""
+    from imcui_tpu.models.matchers import duster as duster_mod
+
+    dconf = {
+        "enc_dim": 64, "enc_depth": 2, "enc_heads": 4,
+        "dec_dim": 64, "dec_depth": 2, "dec_heads": 4,
+        "patch": 16, "pos_embed": "RoPE100", "head_type": "linear",
+        "max_matches": 32, "subsample": 8, "remat": True,
+    }
+    conf_key = tuple(sorted(dconf.items()))
+    params = duster_mod.init_params(jax.random.PRNGKey(1), dconf)
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (2, 48, 48, 3))
+
+    ref = duster_mod._apply_batched(params, imgs, imgs, conf_key)
+
+    mesh = mesh_lib.make_mesh(4, model_parallel=2)
+    sparams = mesh_lib.shard_duster_params(params, mesh)
+    simgs = mesh_lib.shard_batch([imgs], mesh)[0]
+    with mesh:
+        got = duster_mod._apply_batched(sparams, simgs, simgs, conf_key)
+    np.testing.assert_allclose(
+        np.asarray(got["keypoints0"]), np.asarray(ref["keypoints0"]),
+        atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(ref["scores"]),
+        rtol=1e-3, atol=1e-4)
