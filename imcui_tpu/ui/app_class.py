@@ -84,7 +84,40 @@ class ImageMatchingApp:
             "num_raw_matches": int(n_raw),
             "num_ransac_matches": int(n_ransac),
         }
-        return img_kpts, img_raw, img_ransac, stats, pred
+        img_warped, _ = self.make_warped(pred, choice_geometry_type)
+        pred_file = self.dump_pred(pred)
+        return (img_kpts, img_raw, img_ransac, stats, pred, img_warped,
+                pred_file)
+
+    @staticmethod
+    def make_warped(pred, choice_geometry_type):
+        """Warped-pair panel (reference: ui/utils.py generate_warp_images
+        wiring at app_class.py:293-300). Returns (figure, warped_img1)."""
+        from .utils import generate_warp_images
+
+        try:
+            return generate_warp_images(
+                pred.get("image0_orig"), pred.get("image1_orig"), pred,
+                choice_geometry_type)
+        except Exception as e:  # degenerate geometry: panel stays empty
+            logger.debug(f"warp panel unavailable: {e}")
+            return None, None
+
+    @staticmethod
+    def dump_pred(pred):
+        """Pickle the prediction for the downloadable-output widget
+        (reference: ui/utils.py:1047-1057 — images stripped, arrays
+        kept)."""
+        import pickle
+        import tempfile
+
+        slim = {k: v for k, v in pred.items()
+                if not str(k).startswith("image") and v is not None}
+        f = tempfile.NamedTemporaryFile(
+            mode="wb", suffix=".pkl", delete=False, prefix="imcui_pred_")
+        with f:
+            pickle.dump(slim, f)
+        return f.name
 
     @staticmethod
     def ui_reset_state(*args):
@@ -130,12 +163,21 @@ class ImageMatchingApp:
             state_cache = gr.State({})
             with gr.Row():
                 with gr.Column():
-                    input_image0 = gr.Image(label="Image 0", type="numpy")
-                    input_image1 = gr.Image(label="Image 1", type="numpy")
-                    matcher_key = gr.Dropdown(
-                        matcher_list, label="Matching Model",
-                        value=matcher_list[0] if matcher_list else None,
-                    )
+                    with gr.Row():
+                        matcher_key = gr.Dropdown(
+                            matcher_list, label="Matching Model",
+                            value=matcher_list[0] if matcher_list else None,
+                        )
+                        match_image_src = gr.Radio(
+                            ["upload", "webcam", "clipboard"],
+                            label="Image Source", value="upload",
+                        )
+                    input_image0 = gr.Image(label="Image 0", type="numpy",
+                                            image_mode="RGB",
+                                            interactive=True)
+                    input_image1 = gr.Image(label="Image 1", type="numpy",
+                                            image_mode="RGB",
+                                            interactive=True)
                     with gr.Accordion("Advanced Setting", open=False):
                         match_setting_threshold = gr.Slider(
                             0.0, 1.0, 0.2, step=0.001,
@@ -161,6 +203,16 @@ class ImageMatchingApp:
                         choice_geometry_type = gr.Radio(
                             ["Fundamental", "Homography"],
                             value="Homography", label="Geometry")
+                        with gr.Row():
+                            image_force_resize_cb = gr.Checkbox(
+                                label="Force Resize", value=False,
+                                interactive=True)
+                            image_setting_width = gr.Slider(
+                                64, 2048, 640, step=16, label="Image Width",
+                                visible=False)
+                            image_setting_height = gr.Slider(
+                                48, 2048, 480, step=16, label="Image Height",
+                                visible=False)
                     with gr.Row():
                         button_run = gr.Button(value="Run Match",
                                                variant="primary")
@@ -169,23 +221,41 @@ class ImageMatchingApp:
                         button_rerun_ransac = gr.Button(
                             value="Rerun RANSAC")
                 with gr.Column():
-                    output_keypoints = gr.Image(label="Keypoints",
-                                                type="numpy")
-                    output_matches_raw = gr.Image(label="Raw Matches",
+                    with gr.Accordion("Keypoints", open=True):
+                        output_keypoints = gr.Image(label="Keypoints",
+                                                    type="numpy")
+                    with gr.Accordion(
+                            "Raw Matches (green good, red bad)", open=False):
+                        output_matches_raw = gr.Image(label="Raw Matches",
+                                                      type="numpy")
+                    with gr.Accordion(
+                            "RANSAC Matches (green good, red bad)",
+                            open=True):
+                        output_matches_ransac = gr.Image(
+                            label="RANSAC Matches", type="numpy")
+                    with gr.Accordion("Matches Statistics", open=False):
+                        output_pred = gr.File(label="Outputs",
+                                              elem_id="download")
+                        matches_result_info = gr.JSON(
+                            label="Matches Statistics")
+                    with gr.Accordion("Warped Image", open=True):
+                        output_wrapped = gr.Image(label="Warped Pair",
                                                   type="numpy")
-                    output_matches_ransac = gr.Image(
-                        label="RANSAC Matches", type="numpy")
-                    matches_result_info = gr.JSON(label="Matches Statistics")
+                        button_rerun_warp = gr.Button(
+                            value="Send Warped Image1 to Input")
 
             inputs = [
                 input_image0, input_image1, match_setting_threshold,
                 match_setting_max_keypoints, detect_keypoints_threshold,
                 matcher_key, ransac_method, ransac_reproj_threshold,
                 ransac_confidence, ransac_max_iter, choice_geometry_type,
+                image_force_resize_cb, image_setting_width,
+                image_setting_height,
             ]
             outputs = [
                 output_keypoints, output_matches_raw, output_matches_ransac,
-                matches_result_info, state_cache,
+                matches_result_info, state_cache, output_wrapped,
+                output_pred,
             ]
             run_event = button_run.click(
                 fn=self.run_matching_ui, inputs=inputs, outputs=outputs
@@ -194,7 +264,7 @@ class ImageMatchingApp:
             button_reset.click(
                 fn=self.ui_reset_state, inputs=[],
                 outputs=inputs[:6] + outputs[:4] + [state_cache]
-                + inputs[6:],
+                + inputs[6:11],
             )
             button_rerun_ransac.click(
                 fn=lambda cache, m, r, c, i: self._rerun(cache, m, r, c, i),
@@ -202,6 +272,50 @@ class ImageMatchingApp:
                         ransac_confidence, ransac_max_iter],
                 outputs=[output_matches_ransac, matches_result_info],
             )
+            button_rerun_warp.click(
+                fn=self._send_warped_to_input,
+                inputs=[state_cache, choice_geometry_type],
+                outputs=[input_image1],
+            )
+            # image source switch (upload / webcam / clipboard)
+            match_image_src.change(
+                fn=self._on_select_image_src,
+                inputs=match_image_src,
+                outputs=[input_image0, input_image1],
+            )
+            # force-resize reveals the width/height sliders
+            image_force_resize_cb.select(
+                fn=self._on_select_force_resize,
+                inputs=image_force_resize_cb,
+                outputs=[image_setting_width, image_setting_height],
+            )
+            # honest RANSAC UI: the on-device estimator draws a fixed
+            # hypothesis batch — confidence/max-iter are no-ops there
+            # (ops/ransac.py); reflect that instead of showing live
+            # sliders whose values do nothing
+            ransac_method.change(
+                fn=self._on_select_ransac_method,
+                inputs=ransac_method,
+                outputs=[ransac_confidence, ransac_max_iter],
+            )
+            with gr.Accordion("Examples (click a row to populate)",
+                              open=True):
+                from .examples import gen_examples
+
+                try:
+                    rows = gen_examples(
+                        self.example_data_root or
+                        Path(__file__).parent.parent / "datasets")
+                except Exception as e:
+                    logger.warning(f"examples unavailable: {e}")
+                    rows = []
+                if rows:
+                    gr.Examples(
+                        examples=rows,
+                        inputs=[input_image0, input_image1, matcher_key],
+                        outputs=[], cache_examples=False,
+                        label="Examples (image0, image1, model)",
+                    )
             with gr.Tab("Structure from Motion"):
                 AppSfmUI(self.cfg)
 
@@ -212,6 +326,38 @@ class ImageMatchingApp:
                          "efficiency"],
             )
         self.app = app
+
+    # -- control callbacks (reference: app_class.py:436-470) -----------
+
+    @staticmethod
+    def _on_select_image_src(choice):
+        """Switch the image boxes' sources (upload/webcam/clipboard)."""
+        upd = gr.update(sources=[choice] if choice != "upload"
+                        else ["upload", "webcam", "clipboard"])
+        return upd, upd
+
+    @staticmethod
+    def _on_select_force_resize(visible=False):
+        return gr.update(visible=visible), gr.update(visible=visible)
+
+    @staticmethod
+    def _on_select_ransac_method(method):
+        """TPU_LORANSAC draws a fixed Gumbel-sampled hypothesis batch:
+        confidence/max-iter do not apply (ops/ransac.py). Disable the
+        sliders there; the CV2 USAC estimators honour them."""
+        tpu = str(method).startswith("TPU")
+        info = ("not used by the TPU estimator (fixed hypothesis batch)"
+                if tpu else None)
+        return (gr.update(interactive=not tpu, info=info),
+                gr.update(interactive=not tpu, info=info))
+
+    def _send_warped_to_input(self, state_cache, choice_geometry_type):
+        """Send the warped image1 back into the input slot (reference:
+        app_class.py:301-312 'Rerun Matching' loop)."""
+        if not state_cache:
+            return None
+        _, warped = self.make_warped(state_cache, choice_geometry_type)
+        return warped
 
     def _rerun(self, state_cache, method, reproj, conf, iters):
         pred = run_ransac(state_cache, "Homography", method, reproj, conf,

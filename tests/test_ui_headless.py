@@ -19,7 +19,8 @@ def app():
 def test_run_matching_ui_panels(app):
     img0 = read_image(IMG0)
     img1 = read_image(IMG1)
-    kpts_img, raw_img, ransac_img, stats, pred = app.run_matching_ui(
+    (kpts_img, raw_img, ransac_img, stats, pred, warped,
+     pred_file) = app.run_matching_ui(
         img0, img1,
         match_threshold=0.0,
         extract_max_keypoints=2000,
@@ -36,11 +37,11 @@ def test_run_matching_ui_panels(app):
 
 def test_rerun_ransac_from_state(app):
     img0 = read_image(IMG0)
-    *_, pred = app.run_matching_ui(
+    pred = app.run_matching_ui(
         img0, img0.copy(),
         match_threshold=0.0, extract_max_keypoints=512,
         keypoint_threshold=1e-4, key="sift",
-    )
+    )[4]
     img, stats = app._rerun(dict(pred), "TPU_LORANSAC", 8.0, 0.9999, 2000)
     assert stats["num_ransac_matches"] > 50  # self-pair: most survive
 
