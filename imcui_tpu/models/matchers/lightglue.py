@@ -32,7 +32,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ...ops.attention import (NEG_INF, apply_rotary, flash_attention,
+from ...ops.attention import (NEG_INF, apply_rotary,
+                              bidirectional_attention, flash_attention,
+                              fused_attention_small,
                               learnable_fourier_encoding, mha)
 from ...utils.base_model import BaseModel
 from ...utils.weights import (assert_tree_matches, download_checkpoint,
@@ -164,9 +166,12 @@ def self_block(p, x, enc, mask, num_heads):
     v = qkv[..., 2].transpose(1, 0, 2)
     q = apply_rotary(q, enc)
     k = apply_rotary(k, enc)
-    # blockwise Pallas attention on TPU at eligible shapes (N % 256 == 0,
-    # head dim 64/128); transparently falls back to the XLA path elsewhere
-    ctx = flash_attention(q, k, v, mask)
+    # single-shot VMEM attention at serving sizes (≤2048 kpts, logits
+    # never touch HBM); blockwise Pallas beyond; XLA fallback elsewhere
+    if k.shape[1] <= 2048:
+        ctx = fused_attention_small(q, k, v, mask)
+    else:
+        ctx = flash_attention(q, k, v, mask)
     message = linear(p["out_proj"], _merge(ctx))
     return x + ffn_apply(p["ffn"], x, message)
 
@@ -176,19 +181,9 @@ def cross_block(p, x0, x1, mask0, mask1, num_heads):
     qk1 = _heads(linear(p["to_qk"], x1), num_heads)
     v0 = _heads(linear(p["to_v"], x0), num_heads)
     v1 = _heads(linear(p["to_v"], x1), num_heads)
-    dh = qk0.shape[-1]
-    # one logits tensor, softmaxed along both axes (bidirectional)
-    logits = jnp.einsum(
-        "hnd,hmd->hnm", qk0, qk1, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(dh).astype(jnp.float32)
-    l01 = jnp.where(mask1[None, None, :], logits, NEG_INF)
-    l10 = jnp.where(mask0[None, :, None], logits, NEG_INF)
-    a01 = jax.nn.softmax(l01, axis=-1)
-    a10 = jax.nn.softmax(l10, axis=-2)
-    m0 = jnp.einsum("hnm,hmd->hnd", a01.astype(x0.dtype), v1,
-                    preferred_element_type=jnp.float32).astype(x0.dtype)
-    m1 = jnp.einsum("hnm,hnd->hmd", a10.astype(x1.dtype), v0,
-                    preferred_element_type=jnp.float32).astype(x1.dtype)
+    # one logits tensor, softmaxed along both axes (bidirectional);
+    # VMEM-resident Pallas kernel at serving sizes, XLA fallback inside
+    m0, m1 = bidirectional_attention(qk0, qk1, v0, v1, mask0, mask1)
     m0 = linear(p["to_out"], _merge(m0))
     m1 = linear(p["to_out"], _merge(m1))
     x0 = x0 + ffn_apply(p["ffn"], x0, m0)

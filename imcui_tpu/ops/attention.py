@@ -168,3 +168,155 @@ try:  # Pallas is TPU-only at import time on some hosts; degrade gracefully
 except Exception:  # pragma: no cover
     pl = None
     pltpu = None
+
+
+# ---------------------------------------------------------------------------
+# Single-shot fused attention for matcher-sized token counts (N ≤ 2048).
+#
+# At LightGlue's serving shape (N=1024, 4 heads, B=4 pairs) the XLA path
+# materialises every (N, N) f32 logits tensor to HBM: logits + probs
+# round-trips cost ~1 GB/layer ≈ 0.7 ms — the whole per-layer budget.
+# These kernels keep the logits in VMEM (4 MB at N=1024): one MXU pass
+# for QKᵀ, in-place masked softmax, one MXU pass for the readout. No
+# online-softmax machinery — at these sizes the whole K/V fits, which is
+# exactly the regime where the blockwise flash kernel was measured
+# slower (see flash_attention's gate).
+# ---------------------------------------------------------------------------
+
+
+def _fused_attn_kernel(q_ref, k_ref, v_ref, maskk_ref, o_ref, *, scale):
+    q = q_ref[0]
+    s = jax.lax.dot_general(
+        q, k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),  # (Nq,dh)·(Nk,dh)ᵀ
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = jnp.where(maskk_ref[0] > 0, s, NEG_INF)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(q.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def fused_attention_small(q, k, v, mask_k=None):
+    """VMEM-resident attention for nk ≤ 2048. q: (H, Nq, Dh), k/v:
+    (H, Nk, Dh), mask_k: (Nk,) bool. Falls back to mha off-TPU or at
+    unsupported shapes."""
+    h, nq, dh = q.shape
+    nk = k.shape[1]
+    if (pl is None or jax.default_backend() != "tpu" or nk > 2048
+            or nq % 128 or nk % 128 or dh % 64):
+        return mha(q, k, v, mask_k=mask_k)
+    if mask_k is None:
+        maskf = jnp.ones((h, 1, nk), jnp.float32)
+    else:
+        maskf = jnp.broadcast_to(
+            mask_k.astype(jnp.float32)[None, None], (h, 1, nk))
+    kernel = functools.partial(_fused_attn_kernel, scale=1.0 / dh ** 0.5)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(h,),
+        in_specs=[
+            pl.BlockSpec((1, nq, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nq, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(q, k, v, maskf)
+
+
+def _bidir_attn_kernel(a0_ref, a1_ref, v0_ref, v1_ref, m0_ref, m1_ref,
+                       o0_ref, o1_ref, *, scale):
+    a0 = a0_ref[0]
+    sim = jax.lax.dot_general(
+        a0, a1_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                            # (N, M) f32
+    l01 = jnp.where(m1_ref[0] > 0, sim, NEG_INF)        # mask cols
+    l01 = l01 - jnp.max(l01, axis=1, keepdims=True)
+    p01 = jnp.exp(l01)
+    p01 = p01 / jnp.sum(p01, axis=1, keepdims=True)
+    o0_ref[0] = jax.lax.dot_general(
+        p01.astype(a0.dtype), v1_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o0_ref.dtype)
+    l10 = jnp.where(m0_ref[0] > 0, sim, NEG_INF)        # mask rows (n,1)
+    l10 = l10 - jnp.max(l10, axis=0, keepdims=True)
+    p10 = jnp.exp(l10)
+    p10 = p10 / jnp.sum(p10, axis=0, keepdims=True)
+    o1_ref[0] = jax.lax.dot_general(
+        p10.astype(a0.dtype), v0_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),      # Σ_n p10·v0
+        preferred_element_type=jnp.float32,
+    ).astype(o1_ref.dtype)
+
+
+def bidirectional_attention(a0, a1, v0, v1, mask0=None, mask1=None):
+    """LightGlue cross-attention: ONE QKᵀ, softmaxed along both axes,
+    two readouts — all VMEM-resident. a0: (H, N, Dh), a1: (H, M, Dh),
+    v0/v1 likewise. Returns (m0 (H, N, Dh), m1 (H, M, Dh)).
+    Falls back to the two-softmax XLA path off-TPU."""
+    h, n, dh = a0.shape
+    m = a1.shape[1]
+    ok = (pl is not None and jax.default_backend() == "tpu"
+          and max(n, m) <= 2048 and n % 128 == 0 and m % 128 == 0
+          and dh % 64 == 0)
+    if not ok:
+        logits = jnp.einsum("hnd,hmd->hnm", a0, a1,
+                            preferred_element_type=jnp.float32
+                            ) / jnp.sqrt(dh).astype(jnp.float32)
+        l01 = logits if mask1 is None else jnp.where(
+            mask1[None, None, :], logits, NEG_INF)
+        l10 = logits if mask0 is None else jnp.where(
+            mask0[None, :, None], logits, NEG_INF)
+        att01 = jax.nn.softmax(l01, axis=-1)
+        att10 = jax.nn.softmax(l10, axis=-2)
+        m0 = jnp.einsum("hnm,hmd->hnd", att01.astype(a0.dtype), v1,
+                        preferred_element_type=jnp.float32).astype(a0.dtype)
+        m1 = jnp.einsum("hnm,hnd->hmd", att10.astype(a1.dtype), v0,
+                        preferred_element_type=jnp.float32).astype(a1.dtype)
+        return m0, m1
+    mk0 = (jnp.ones((n,)) if mask0 is None else mask0).astype(jnp.float32)
+    mk1 = (jnp.ones((m,)) if mask1 is None else mask1).astype(jnp.float32)
+    mk0 = jnp.broadcast_to(mk0[None, :, None], (h, n, 1))
+    mk1 = jnp.broadcast_to(mk1[None, None, :], (h, 1, m))
+    kernel = functools.partial(_bidir_attn_kernel, scale=1.0 / dh ** 0.5)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((h, n, dh), a0.dtype),
+                   jax.ShapeDtypeStruct((h, m, dh), a1.dtype)),
+        grid=(h,),
+        in_specs=[
+            pl.BlockSpec((1, n, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(a0, a1, v0, v1, mk0, mk1)
