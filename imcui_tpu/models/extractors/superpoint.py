@@ -81,7 +81,9 @@ def backbone(params, x):
 
         def stage(y, pa, pb, hh, ww2):
             """conv_a → relu → conv_b → relu → pool, folded; fused Pallas
-            tail when shapes/backend allow, folded XLA otherwise."""
+            tail when shapes/backend allow, folded XLA otherwise.
+            (Computing conv1a INSIDE the kernel was tried and rejected:
+            pallas_stage1.stem_tail — trunk 21.4 → 30.7 ms at 8×1024².)"""
             fa = layers.fold_conv3x3(pa)
             fb = layers.fold_conv3x3(pb)
             if use_pallas and pallas_stage1.supported(hh, ww2):

@@ -46,6 +46,8 @@ except Exception:  # pragma: no cover
 
 T = 16    # conv rows per program (T/2 = 8 pooled rows keeps stores aligned)
 WC = 512  # w2 chunk per value-accumulated matmul group
+WC_STEM = 256  # stem kernel's conv1b chunk: the image double-buffer
+               # takes the VMEM the 512-chunk value chain needs
 
 
 def _kernel(y1_hbm, ba_ref, kc_ref, kl_ref, kr_ref, bb_ref, o_ref, *,
@@ -202,4 +204,231 @@ def supported(h, w2):
         and h // T >= 2
         and w2 % 8 == 0
         and w2 >= 16
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused STEM: conv1a computed in-kernel from the folded image.
+#
+# *** REJECTED optimisation — kept as a documented negative result. ***
+# Hypothesis (tools/profile_stage1.py at 8×1024²): XLA's folded conv1a
+# (contraction depth 3·3·2=18 against 128 MXU lanes) costs ~6.9 ms in
+# situ for 19 GFLOP while the conv1b tail runs at 154 TF/s (78% of v5e
+# peak), so computing the stencil on the VPU inside the kernel should
+# overlap it away. Measured: trunk 21.4 → 43.3 ms with 1-lane-slice
+# broadcasts (Mosaic lowers them to shuffle trees), still 30.7 ms after
+# reformulating to pure full-lane FMAs on a lane-broadcast image. The
+# stencil is broadcast/bandwidth-bound, not FLOP-bound: 12 taps ×
+# (T+2, w2, 128) f32 values ≈ 130 MB of VMEM traffic per program plus a
+# 64×-redundant 1.35 GB padded image DMA — more than XLA's conv costs.
+# superpoint.backbone therefore keeps the XLA conv1a + stage_tail path.
+#
+# Folded-tap bookkeeping: the folded image (rows, w2, 2) has channels
+# [even pixel 2w2, odd pixel 2w2+1] (layers.fold_width). Every folded
+# conv1a output needs four input slices: even@w2, odd@w2, odd@w2−1,
+# even@w2+1. Their 128-lane weight vectors are exactly four slices of
+# fold_conv3x3's folded kernel (the remaining two (dx2, q) combos are
+# structural zeros — see stem_tail).
+# ---------------------------------------------------------------------------
+
+RC = 3  # conv1a row-chunk ((T+2) must divide evenly; RC=6 left the scoped
+        # VMEM 804 KB over the 16 MB limit)
+
+
+def _stem_kernel(img_hbm, kv_ref, ba_ref, kc_ref, kl_ref, kr_ref, bb_ref,
+                 o_ref, *, h_rows, w2, n_b, pipelined=True):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    flat = b * n_j + j
+    total = n_b * n_j
+
+    def body(imgb2, xs, sem2):
+        # ---- double-buffered image DMA (rows jj*T-2 .. jj*T+T+1) ----
+        # single-buffered DMA (40 KB logical/2.6 MB padded per program —
+        # the double buffer cost 2.6 MB of scoped VMEM the conv1b value
+        # chain needs; the serial copy is ~3 us against ~15 us compute)
+        def dmas(f):
+            bb2 = f // n_j
+            jj = f % n_j
+            return (
+                (jnp.logical_and(jj > 0, jj < n_j - 1),
+                 lambda: pltpu.make_async_copy(
+                     img_hbm.at[bb2, pl.ds(jj * T - 2, T + 4)],
+                     imgb2, sem2)),
+                (jj == 0,
+                 lambda: pltpu.make_async_copy(
+                     img_hbm.at[bb2, pl.ds(0, T + 2)],
+                     imgb2.at[pl.ds(2, T + 2)], sem2)),
+                (jnp.logical_and(jj == n_j - 1, n_j > 1),
+                 lambda: pltpu.make_async_copy(
+                     img_hbm.at[bb2, pl.ds(h_rows - (T + 2), T + 2)],
+                     imgb2.at[pl.ds(0, T + 2)], sem2)),
+            )
+
+        for cond, mk in dmas(flat):
+            pl.when(cond)(lambda mk=mk: mk().start())
+        for cond, mk in dmas(flat):
+            pl.when(cond)(lambda mk=mk: mk().wait())
+
+        imgb = imgb2
+
+        # image rows beyond the vertical border are zero (SAME padding);
+        # the buffer slots are reused across programs, so zero every time
+        @pl.when(j == 0)
+        def _():
+            imgb[0:2] = jnp.zeros((2, w2, 128), jnp.bfloat16)
+
+        @pl.when(j == n_j - 1)
+        def _():
+            imgb[T + 2:T + 4] = jnp.zeros((2, w2, 128), jnp.bfloat16)
+
+        # ---- conv1a: full-lane FMAs per row-chunk, VPU-only ----
+        # The image arrives lane-BROADCAST ([q0×64 | q1×64], see
+        # stem_tail): every term is a native 128-lane multiply — the
+        # earlier 1-lane-slice + lane-broadcast formulation lowered to
+        # shuffle trees (trunk 43 ms vs 21 baseline). Cross-parity terms
+        # use a 64-lane f32 roll; w2∓1 terms are free sublane concats.
+        # xs row i ↦ conv output row j·T−1+i ↦ image rows i..i+2 of imgb.
+        # fori_loop (not an unrolled range) — the Mosaic scheduler keeps
+        # every unrolled chunk's value chain live at once (measured
+        # 33.9 MB stack vs the 16 MB scoped limit).
+        def conv1a_chunk(ci, carry):
+            rc = ci * RC
+            a = None
+            zrow = jnp.zeros((RC, 1, 128), jnp.float32)
+            for dy in range(3):
+                bf = imgb[pl.ds(rc + dy, RC)].astype(jnp.float32)
+                sw = pltpu.roll(bf, 64, 2)                  # [q1 | q0]
+                shm = jnp.concatenate([zrow, sw[:, :-1]], 1)   # w2-1
+                shp = jnp.concatenate([sw[:, 1:], zrow], 1)    # w2+1
+                for s, sl in enumerate((bf, sw, shm, shp)):
+                    p = sl * kv_ref[dy, s][None, None, :]
+                    a = p if a is None else a + p
+            xs[pl.ds(rc, RC)] = jnp.maximum(
+                a + ba_ref[0][None, None, :], 0).astype(jnp.bfloat16)
+            return carry
+
+        assert (T + 2) % RC == 0
+        jax.lax.fori_loop(0, (T + 2) // RC, conv1a_chunk, 0)
+
+        # conv1b's vertical halo rows must be ZERO at the image border
+        @pl.when(j == 0)
+        def _():
+            xs[0] = jnp.zeros((w2, 128), jnp.bfloat16)
+
+        @pl.when(j == n_j - 1)
+        def _():
+            xs[T + 1] = jnp.zeros((w2, 128), jnp.bfloat16)
+
+        # ---- folded 3×3 conv1b + bias/relu/pool per w2-chunk ----
+        # (no (T, w2, 128) f32 accumulator buffer: pooling within the
+        # chunk and writing the output slab directly keeps scoped VMEM
+        # at ~12.6 MB — the accumulator variant OOMed at 16.79)
+        zcol = jnp.zeros((T, 1, 128), jnp.bfloat16)
+        for wc in range(0, w2, WC_STEM):
+            wce = min(wc + WC_STEM, w2)
+            s = None
+            for dy in range(3):
+                rows = xs[dy:dy + T, wc:wce]
+                if wc == 0:
+                    left = jnp.concatenate([zcol, xs[dy:dy + T, 0:wce - 1]],
+                                           1)
+                else:
+                    left = xs[dy:dy + T, wc - 1:wce - 1]
+                if wce == w2:
+                    right = jnp.concatenate(
+                        [xs[dy:dy + T, wc + 1:wce], zcol], 1)
+                else:
+                    right = xs[dy:dy + T, wc + 1:wce + 1]
+                for tap, kref in ((rows, kc_ref), (left, kl_ref),
+                                  (right, kr_ref)):
+                    p = jax.lax.dot_general(
+                        tap, kref[dy],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    s = p if s is None else s + p
+            nw = wce - wc
+            z = jnp.maximum(s + bb_ref[0], 0.0)
+            v = jnp.max(z.reshape(T // 2, 2, nw, 128), 1)
+            hm = jnp.maximum(v, pltpu.roll(v, 64, 2))
+            vv = hm.reshape(T // 2, nw // 2, 2, 128)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (T // 2, nw // 2, 128), 2)
+            o_ref[0, :, wc // 2:wce // 2] = jnp.where(
+                lane < 64, vv[:, :, 0], vv[:, :, 1]).astype(o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((T + 4, w2, 128), jnp.bfloat16),
+        pltpu.VMEM((T + 2, w2, 128), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def stem_tail(img_f, wa_folded, ba_f, wb_folded, bb_f, *, interpret=False):
+    """Fused SuperPoint stem: folded image in, pooled stage-1 output out.
+
+    img_f: (B, H, W₂, 2) bf16 — layers.fold_width(image); wa_folded/ba_f:
+    (3, 3, 2, 128)/(128,) from layers.fold_conv3x3(conv1a); wb_folded/
+    bb_f likewise for conv1b. Returns (B, H/2, W₂/2, 128) bf16 ==
+    max_pool_folded(relu(conv1b(relu(conv1a(img))))).
+    """
+    b, h, w2, _ = img_f.shape
+    # Mosaic cannot vector.load from a 2-lane-minor VMEM buffer (lane
+    # tile is 128), so the image rides lane-BROADCAST: lanes 0-63 carry
+    # the even pixel, 64-127 the odd. The write costs ~0.5 ms of HBM at
+    # 8×1024² (same as zero-padding would) and buys the kernel pure
+    # full-lane multiplies instead of 1-lane broadcasts.
+    img_f = jnp.concatenate([
+        jnp.broadcast_to(img_f[..., 0:1], img_f.shape[:-1] + (64,)),
+        jnp.broadcast_to(img_f[..., 1:2], img_f.shape[:-1] + (64,)),
+    ], -1)
+    # Weight vectors per (dy, operand): each operand is a 128-lane image
+    # view ([q0|q1], its 64-roll [q1|q0], and their w2∓1 shifts); the
+    # lane-vector pairs route each parity to the right folded output
+    # half. The (dx2=left, q=even) / (dx2=right, q=odd) combos are
+    # structural zeros of fold_conv3x3's kernel, which is why four
+    # operands cover all nine taps of both parities.
+    half = 64
+    z = jnp.zeros((3, half), wa_folded.dtype)
+    kv = jnp.stack([
+        # [q0|q1]: even@w2 → p0 center; odd@w2 → p1 center
+        jnp.concatenate([wa_folded[:, 1, 0, :half],
+                         wa_folded[:, 1, 1, half:]], -1),
+        # [q1|q0]: odd@w2 → p0 right; even@w2 → p1 left
+        jnp.concatenate([wa_folded[:, 1, 1, :half],
+                         wa_folded[:, 1, 0, half:]], -1),
+        # shift(w2-1) of [q1|q0]: odd@w2-1 → p0 left
+        jnp.concatenate([wa_folded[:, 0, 1, :half], z], -1),
+        # shift(w2+1) of [q1|q0]: even@w2+1 → p1 right
+        jnp.concatenate([z, wa_folded[:, 2, 0, half:]], -1),
+    ], axis=1).astype(jnp.float32)                     # (3, 4, 128)
+    kernel = functools.partial(_stem_kernel, h_rows=h, w2=w2, n_b=b,
+                               pipelined=not interpret)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, w2 // 2, 128),
+                                       jnp.bfloat16),
+        grid=(b, h // T),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((1, T // 2, w2 // 2, 128),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w2 * 9 * 128 * 128,
+            bytes_accessed=b * h * w2 * (128 * 2 + 128) // 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        img_f,
+        kv,
+        ba_f.reshape(1, 128).astype(jnp.float32),
+        wb_folded[:, 1].astype(jnp.bfloat16),
+        wb_folded[:, 0].astype(jnp.bfloat16),
+        wb_folded[:, 2].astype(jnp.bfloat16),
+        bb_f.reshape(1, 128).astype(jnp.float32),
     )

@@ -91,3 +91,30 @@ def test_pallas_stage_tail_interpret():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_stem_tail_interpret():
+    """stem_tail (the rejected fused-conv1a kernel, kept as a documented
+    negative result) must stay exact vs the XLA folded stage."""
+    from imcui_tpu.ops import pallas_stage1 as ps1
+
+    B, H, W = 2, 64, 96
+    x = jax.random.uniform(jax.random.PRNGKey(0), (B, H, W, 1),
+                           jnp.float32)
+    pa = {"w": jax.random.normal(jax.random.PRNGKey(1), (3, 3, 1, 64)) * 0.3,
+          "b": jax.random.normal(jax.random.PRNGKey(2), (64,)) * 0.1}
+    pb = {"w": jax.random.normal(jax.random.PRNGKey(3), (3, 3, 64, 64)) * 0.05,
+          "b": jax.random.normal(jax.random.PRNGKey(4), (64,)) * 0.1}
+    fa = layers.fold_conv3x3(pa)
+    fb = layers.fold_conv3x3(pb)
+    y = layers.fold_width(x)
+    ref = layers.max_pool_folded(
+        jnp.maximum(layers.conv2d(
+            fb, jnp.maximum(layers.conv2d(fa, y), 0)), 0))
+    got = ps1.stem_tail(y.astype(jnp.bfloat16), fa["w"], fa["b"],
+                        fb["w"], fb["b"], interpret=True)
+    err = np.max(np.abs(np.asarray(ref, np.float32)
+                        - np.asarray(got, np.float32)))
+    rel = err / (np.max(np.abs(np.asarray(ref))) + 1e-9)
+    assert got.shape == ref.shape
+    assert rel < 0.02, rel
