@@ -174,6 +174,12 @@ def apply(
         x = x.astype(jnp.bfloat16)
     feats = backbone(cparams, x)
     heat = dense_scores(cparams, feats)  # (B, H, W) f32
+    if precision == "bf16":
+        # NMS + top-k run comparisons only; bf16 halves the ~10
+        # full-resolution reduce_window passes' HBM traffic. Scores are
+        # softmax probabilities in [0,1], representable to 2^-8 relative
+        # — selection order changes only between near-ties.
+        heat = heat.astype(jnp.bfloat16)
     # pin the heatmap: without this barrier XLA rematerialises the
     # depth-to-space relayout into every NMS reduce_window consumer
     # (measured +10.3 ms vs +3.4 ms at 8×1024²)
@@ -198,7 +204,7 @@ def apply(
     kpts, kscores, desc, mask = jax.vmap(per_image)(heat, desc_map, valid_wh)
     return {
         "keypoints": kpts,
-        "scores": kscores,
+        "scores": kscores.astype(jnp.float32),
         "descriptors": desc,
         "mask": mask,
     }

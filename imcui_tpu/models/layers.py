@@ -142,7 +142,11 @@ def relu(x):
 
 
 def gelu(x):
-    return jax.nn.gelu(x)
+    # exact (erf) variant: torch's nn.GELU() default, which is what every
+    # upstream checkpoint was trained with — jax.nn.gelu defaults to the
+    # tanh approximation (caught by tests/test_torch_parity.py's
+    # LightGlue fixture as a ~1e-4 drift per FFN)
+    return jax.nn.gelu(x, approximate=False)
 
 
 def l2_normalize(x, axis=-1, eps=1e-8):

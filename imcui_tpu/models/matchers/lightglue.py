@@ -8,11 +8,15 @@ self + bidirectional-cross attention, sigmoid-matchability double-softmax
 assignment head).
 
 TPU-first redesign decisions (SURVEY §7.3):
-- **Static depth.** The torch original exits early per pair when token
-  confidence saturates (``depth_confidence=0.95``) and prunes points
-  (``width_confidence``) — data-dependent control flow that defeats XLA.
-  We compile a fixed ``n_layers`` network; the conf keys are accepted for
-  API parity and ignored (choose a smaller ``n_layers`` preset for speed).
+- **Adaptive depth, TPU-shaped.** The torch original exits early when
+  token confidence saturates (``depth_confidence=0.95``). Here that is a
+  ``lax.while_loop`` over stacked layer params (forward_pair_adaptive):
+  fixed shapes, one executable, dynamic trip count; a vmapped batch exits
+  when every pair is confident. ``width_confidence`` point pruning stays
+  a documented no-op — pruning shrinks shapes (a recompile per pair on
+  TPU) and the masked fixed-shape design already bounds its cost. The
+  fused serving path (pipeline/two_view.py) keeps static depth so the
+  benchmark measures a fixed workload.
 - **Masked fixed shapes.** Padded keypoint slots carry an additive -inf
   attention mask and zero mass in the assignment, so one executable serves
   every keypoint count ≤ the bucket; whole pair-batches go through a
@@ -74,7 +78,7 @@ def init_params(rng, conf):
     input_dim = FEATURE_DIMS.get(conf["features"], dim)
     pos_dim = 2 + (2 if conf.get("add_scale_ori") else 0)
     head_dim = dim // conf["num_heads"]
-    keys = jax.random.split(rng, 4 + n_layers)
+    keys = jax.random.split(rng, 2 + n_layers)
     params = {
         "input_proj": init_linear(keys[0], input_dim, dim),
         "posenc": {
@@ -82,13 +86,14 @@ def init_params(rng, conf):
                    .astype(jnp.float32)}
         },
         "transformers": [],
-        "log_assignment": {
-            "matchability": init_linear(keys[2], dim, 1),
-            "final_proj": init_linear(keys[3], dim, dim),
-        },
+        # upstream keeps one assignment head per layer (adaptive depth
+        # exits through the head of the layer it stopped at) and a token
+        # confidence head after every layer but the last
+        "log_assignment": [],
+        "token_confidence": [],
     }
     for i in range(n_layers):
-        k = jax.random.split(keys[4 + i], 8)
+        k = jax.random.split(keys[2 + i], 11)
         params["transformers"].append(
             {
                 "self_attn": {
@@ -104,6 +109,13 @@ def init_params(rng, conf):
                 },
             }
         )
+        params["log_assignment"].append({
+            "matchability": init_linear(k[7], dim, 1),
+            "final_proj": init_linear(k[8], dim, dim),
+        })
+        if i < n_layers - 1:
+            params["token_confidence"].append(
+                {"token": init_linear(k[9], dim, 1)})
     return params
 
 
@@ -113,15 +125,14 @@ def load_params(conf):
     if path is None:
         return init, {"pretrained": False}
     sd = load_state_dict(path)
-    # drop adaptive-inference heads (token_confidence) and intermediate
-    # per-layer assignment heads; keep the final one.
     n_layers = conf["n_layers"]
-    final_key = f"log_assignment.{n_layers - 1}."
+    # token_confidence.{i}.token.0 is the Linear inside the Sequential
+    # (index 1 is the param-free Sigmoid); real checkpoints carry
+    # n_layers-1 heads — ignore any extras a synthetic sd might add
     sd = {
-        (k.replace(final_key, "log_assignment.") if k.startswith(final_key) else k): v
+        k.replace(".token.0.", ".token."): v
         for k, v in sd.items()
-        if not k.startswith("token_confidence")
-        and (not k.startswith("log_assignment.") or k.startswith(final_key))
+        if not k.startswith(f"token_confidence.{n_layers - 1}.")
     }
     tree = state_dict_to_tree(
         sd,
@@ -131,9 +142,18 @@ def load_params(conf):
             (r".*", "linear"),
         ],
     )
-    # list-ify transformers.{i}
-    layers = tree.get("transformers", {})
-    tree["transformers"] = [layers[str(i)] for i in range(n_layers)]
+    # list-ify the per-layer module dicts
+    tree["transformers"] = [
+        tree["transformers"][str(i)] for i in range(n_layers)]
+    tree["log_assignment"] = [
+        tree["log_assignment"][str(i)] for i in range(n_layers)]
+    tc = tree.get("token_confidence", {})
+    # pre-adaptive checkpoints may lack confidence heads: fall back to
+    # the (random) init heads so static-depth inference stays usable;
+    # adaptive depth then simply never fires early.
+    tree["token_confidence"] = [
+        tc.get(str(i), init["token_confidence"][i])
+        for i in range(n_layers - 1)]
     assert_tree_matches(tree, init, "lightglue")
     return tree, {"pretrained": True}
 
@@ -275,18 +295,119 @@ def forward_pair(params, kpts0, kpts1, desc0, desc1, mask0, mask1,
     if bf16:  # assignment head in f32 for crisp match thresholds
         x0 = x0.astype(jnp.float32)
         x1 = x1.astype(jnp.float32)
-    scores = assignment(params["log_assignment"], x0, x1, mask0, mask1)
+    scores = assignment(params["log_assignment"][-1], x0, x1, mask0, mask1)
     matches0, mscores0 = filter_matches(
         scores, conf["match_threshold"], mask0, mask1
     )
     return {"matches0": matches0, "matching_scores0": mscores0}
 
 
+def _stack_trees(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _index_tree(stk, i):
+    return jax.tree_util.tree_map(
+        lambda s: jax.lax.dynamic_index_in_dim(s, i, 0, keepdims=False),
+        stk)
+
+
+def forward_pair_adaptive(params, kpts0, kpts1, desc0, desc1, mask0, mask1,
+                          size0, size1, conf):
+    """Adaptive-depth forward (reference parity: the upstream network
+    exits early once ``depth_confidence`` of the tokens saturate their
+    per-layer confidence threshold, reading the assignment from the head
+    of the layer it stopped at).
+
+    TPU-native shape: a ``lax.while_loop`` over STACKED layer params —
+    fixed shapes, one executable, dynamic trip count. Under ``vmap`` the
+    loop runs until every pair in the batch has exited, which is exactly
+    the batch-coupled semantics a TPU serving batch wants. The upstream
+    ``width_confidence`` point pruning is still a no-op here: pruning
+    shrinks shapes (recompilation per pair on TPU) and only speeds up the
+    pruned tail, which the masked fixed-shape design already bounds.
+    """
+    num_heads = conf["num_heads"]
+    n_layers = len(params["transformers"])
+    depth_conf = float(conf.get("depth_confidence", 0.95) or 0)
+    if n_layers < 2 or depth_conf <= 0:
+        return forward_pair(params, kpts0, kpts1, desc0, desc1, mask0,
+                            mask1, size0, size1, conf)
+    bf16 = conf.get("precision") == "bf16"
+    tparams = params
+    if bf16:
+        tparams = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), params)
+        desc0 = desc0.astype(jnp.bfloat16)
+        desc1 = desc1.astype(jnp.bfloat16)
+    x0 = linear(tparams["input_proj"], desc0)
+    x1 = linear(tparams["input_proj"], desc1)
+    p0 = normalize_keypoints(kpts0[:, :2], size0)
+    p1 = normalize_keypoints(kpts1[:, :2], size1)
+    if conf.get("add_scale_ori"):
+        p0 = jnp.concatenate([p0, kpts0[:, 2:4]], -1)
+        p1 = jnp.concatenate([p1, kpts1[:, 2:4]], -1)
+    enc0 = learnable_fourier_encoding(p0, params["posenc"]["Wr"]["w"])
+    enc1 = learnable_fourier_encoding(p1, params["posenc"]["Wr"]["w"])
+    if bf16:
+        enc0 = tuple(e.astype(jnp.bfloat16) for e in enc0)
+        enc1 = tuple(e.astype(jnp.bfloat16) for e in enc1)
+
+    stk_t = _stack_trees(tparams["transformers"])
+    stk_c = _stack_trees(params["token_confidence"])     # f32 heads
+    # upstream per-layer confidence threshold schedule
+    import math
+    ths = jnp.asarray([
+        min(max(0.8 + 0.1 * math.exp(-4.0 * i / n_layers), 0.0), 1.0)
+        for i in range(n_layers)], jnp.float32)
+    npts = jnp.maximum(mask0.sum() + mask1.sum(), 1).astype(jnp.float32)
+
+    def cond(st):
+        i, _, _, done = st
+        return (i < n_layers) & ~done
+
+    def body(st):
+        i, x0, x1, _ = st
+        lyr = _index_tree(stk_t, i)
+        x0 = self_block(lyr["self_attn"], x0, enc0, mask0, num_heads)
+        x1 = self_block(lyr["self_attn"], x1, enc1, mask1, num_heads)
+        x0, x1 = cross_block(lyr["cross_attn"], x0, x1, mask0, mask1,
+                             num_heads)
+        tc = _index_tree(stk_c, jnp.minimum(i, n_layers - 2))
+        c0 = jax.nn.sigmoid(
+            linear(tc["token"], x0.astype(jnp.float32)))[:, 0]
+        c1 = jax.nn.sigmoid(
+            linear(tc["token"], x1.astype(jnp.float32)))[:, 0]
+        th = ths[i]
+        n_unconf = (jnp.where(mask0, c0 < th, False).sum()
+                    + jnp.where(mask1, c1 < th, False).sum())
+        ratio = 1.0 - n_unconf.astype(jnp.float32) / npts
+        done = (ratio > depth_conf) & (i < n_layers - 1)
+        return (i + 1, x0, x1, done)
+
+    i0 = jnp.asarray(0, jnp.int32)
+    i_end, x0, x1, _ = jax.lax.while_loop(
+        cond, body, (i0, x0, x1, jnp.asarray(False)))
+
+    if bf16:
+        x0 = x0.astype(jnp.float32)
+        x1 = x1.astype(jnp.float32)
+    head = _index_tree(_stack_trees(params["log_assignment"]), i_end - 1)
+    scores = assignment(head, x0, x1, mask0, mask1)
+    matches0, mscores0 = filter_matches(
+        scores, conf["match_threshold"], mask0, mask1
+    )
+    return {"matches0": matches0, "matching_scores0": mscores0,
+            "stop_layer": i_end}
+
+
 @functools.partial(jax.jit, static_argnames=("conf_key",))
 def _apply_batched(params, kpts0, kpts1, desc0, desc1, mask0, mask1,
                    size0, size1, conf_key):
     conf = dict(conf_key)
-    fn = functools.partial(forward_pair, conf=conf)
+    base = (forward_pair_adaptive
+            if conf.get("depth_confidence", 0) else forward_pair)
+    fn = functools.partial(base, conf=conf)
     return jax.vmap(
         lambda a, b, c, d, e, f, g, h: fn(params, a, b, c, d, e, f, g, h)
     )(kpts0, kpts1, desc0, desc1, mask0, mask1, size0, size1)
@@ -304,8 +425,9 @@ class LightGlue(BaseModel):
         "n_layers": 9,
         "match_threshold": 0.2,
         "add_scale_ori": False,
-        # accepted for reference API parity; static-depth design ignores
-        # them (see module docstring):
+        # depth_confidence drives the while_loop early exit
+        # (forward_pair_adaptive); width_confidence is accepted for
+        # reference API parity and documented as a no-op:
         "depth_confidence": 0.95,
         "width_confidence": 0.99,
         "flash": True,
@@ -326,6 +448,8 @@ class LightGlue(BaseModel):
                     "num_heads": conf["num_heads"],
                     "match_threshold": float(conf["match_threshold"]),
                     "add_scale_ori": bool(conf["add_scale_ori"]),
+                    "depth_confidence": float(
+                        conf.get("depth_confidence") or 0),
                 }.items()
             )
         )

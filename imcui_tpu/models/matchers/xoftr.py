@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
 from ...utils.weights import load_params_auto
-from ..layers import init_linear, linear
+from ..layers import gelu, init_linear, linear
 from .loftr import (D_COARSE, backbone_apply, coarse_match, encoder_layer,
                     gather_fine_windows, init_params as init_loftr_params,
                     position_encoding, FINE_WINDOW)
@@ -85,7 +85,7 @@ def fine_window_match(params, win0, win1, valid, fine_thr=0.1):
              jnp.repeat(jnp.arange(w, dtype=jnp.float32), w)], -1)
         # sub-pixel MLP on the matched token pair
         tok = jnp.concatenate([p0[i0], p1[i1]], -1)
-        sub = jnp.tanh(linear(params["subpixel_mlp"]["2"], jax.nn.gelu(
+        sub = jnp.tanh(linear(params["subpixel_mlp"]["2"], gelu(
             linear(params["subpixel_mlp"]["0"], tok))))
         off0 = grid[i0] - (w // 2) + sub[:2]
         off1 = grid[i1] - (w // 2) + sub[2:]

@@ -137,3 +137,169 @@ def test_descriptor_sampling_parity(weights_and_image):
                         align_corners=True)[0, :, 0]
     ref = F.normalize(ref, p=2, dim=0).numpy()
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# LightGlue cross-framework parity: published torch forward vs our JAX
+# implementation, identical weights through tree_to_state_dict. Pins the
+# semantics the checkpoints were trained with: Fourier-rotary positional
+# encoding (interleaved-pair rotate-half), qkv triple-innermost packing,
+# bidirectional cross softmax, sigmoid double-softmax assignment with
+# dustbins, and mutual-argmax decoding.
+# Reference architecture: imcui/hloc/matchers/lightglue.py wraps the
+# published ``lightglue`` package; the ops below restate that package's
+# forward (LearnableFourierPositionalEncoding / SelfBlock / CrossBlock /
+# MatchAssignment) functionally.
+# ---------------------------------------------------------------------------
+
+
+def _t_lin(sd, name, x):
+    w = torch.from_numpy(np.asarray(sd[f"{name}.weight"]))
+    b = torch.from_numpy(np.asarray(sd[f"{name}.bias"]))
+    return x @ w.T + b
+
+
+def _t_rotate_half(x):
+    x = x.unflatten(-1, (-1, 2))
+    x1, x2 = x.unbind(dim=-1)
+    return torch.stack((-x2, x1), dim=-1).flatten(start_dim=-2)
+
+
+def _t_ffn(sd, name, x, message):
+    h = torch.cat([x, message], -1)
+    h = _t_lin(sd, f"{name}.0", h)
+    w = torch.from_numpy(np.asarray(sd[f"{name}.1.weight"]))
+    b = torch.from_numpy(np.asarray(sd[f"{name}.1.bias"]))
+    h = torch.nn.functional.layer_norm(h, h.shape[-1:], w, b)
+    h = torch.nn.functional.gelu(h)
+    return _t_lin(sd, f"{name}.3", h)
+
+
+def torch_lightglue(sd, kpts0, kpts1, d0, d1, size_wh, n_layers, heads):
+    import torch.nn.functional as F
+
+    kpts0 = torch.from_numpy(kpts0)
+    kpts1 = torch.from_numpy(kpts1)
+    size = torch.from_numpy(size_wh)
+
+    def norm_kpts(k):
+        shift = size / 2
+        scale = size.max() / 2
+        return (k - shift) / scale
+
+    def posenc(k):
+        wr = torch.from_numpy(np.asarray(sd["posenc.Wr.weight"]))
+        proj = norm_kpts(k) @ wr.T                       # (N, dh/2)
+        cos = torch.cos(proj).repeat_interleave(2, -1)   # (N, dh)
+        sin = torch.sin(proj).repeat_interleave(2, -1)
+        return cos, sin
+
+    def rot(t, enc):
+        cos, sin = enc
+        return t * cos + _t_rotate_half(t) * sin
+
+    def attn(q, k, v):
+        dh = q.shape[-1]
+        logits = torch.einsum("hnd,hmd->hnm", q, k) / dh ** 0.5
+        return torch.einsum("hnm,hmd->hnd", logits.softmax(-1), v)
+
+    def heads_split(x):
+        n, d = x.shape
+        return x.reshape(n, heads, d // heads).permute(1, 0, 2)
+
+    def heads_merge(x):
+        h, n, dh = x.shape
+        return x.permute(1, 0, 2).reshape(n, h * dh)
+
+    x0 = _t_lin(sd, "input_proj", torch.from_numpy(d0))
+    x1 = _t_lin(sd, "input_proj", torch.from_numpy(d1))
+    enc0, enc1 = posenc(kpts0), posenc(kpts1)
+
+    for i in range(n_layers):
+        for x, enc, which in ((x0, enc0, 0), (x1, enc1, 1)):
+            nm = f"transformers.{i}.self_attn"
+            qkv = _t_lin(sd, f"{nm}.Wqkv", x)
+            n, d3 = qkv.shape
+            d = d3 // 3
+            qkv = qkv.unflatten(-1, (heads, d // heads, 3))  # (N,H,dh,3)
+            q = rot(qkv[..., 0].permute(1, 0, 2), enc)
+            k = rot(qkv[..., 1].permute(1, 0, 2), enc)
+            v = qkv[..., 2].permute(1, 0, 2)
+            message = _t_lin(sd, f"{nm}.out_proj", heads_merge(attn(q, k, v)))
+            out = x + _t_ffn(sd, f"{nm}.ffn", x, message)
+            if which == 0:
+                x0 = out
+            else:
+                x1 = out
+        nm = f"transformers.{i}.cross_attn"
+        qk0 = heads_split(_t_lin(sd, f"{nm}.to_qk", x0))
+        qk1 = heads_split(_t_lin(sd, f"{nm}.to_qk", x1))
+        v0 = heads_split(_t_lin(sd, f"{nm}.to_v", x0))
+        v1 = heads_split(_t_lin(sd, f"{nm}.to_v", x1))
+        dh = qk0.shape[-1]
+        sim = torch.einsum("hid,hjd->hij", qk0, qk1) / dh ** 0.5
+        m0 = torch.einsum("hij,hjd->hid", sim.softmax(-1), v1)
+        m1 = torch.einsum("hji,hjd->hid",
+                          sim.transpose(-2, -1).softmax(-1).transpose(-2, -1),
+                          v0)
+        m0 = _t_lin(sd, f"{nm}.to_out", heads_merge(m0))
+        m1 = _t_lin(sd, f"{nm}.to_out", heads_merge(m1))
+        x0 = x0 + _t_ffn(sd, f"{nm}.ffn", x0, m0)
+        x1 = x1 + _t_ffn(sd, f"{nm}.ffn", x1, m1)
+
+    d = x0.shape[-1]
+    md0 = _t_lin(sd, "log_assignment.1.final_proj", x0) / d ** 0.25
+    md1 = _t_lin(sd, "log_assignment.1.final_proj", x1) / d ** 0.25
+    sim = torch.einsum("md,nd->mn", md0, md1)
+    z0 = _t_lin(sd, "log_assignment.1.matchability", x0)[:, 0]
+    z1 = _t_lin(sd, "log_assignment.1.matchability", x1)[:, 0]
+    cert = F.logsigmoid(z0)[:, None] + F.logsigmoid(z1)[None, :]
+    scores0 = F.log_softmax(sim, 1)
+    scores1 = F.log_softmax(sim.transpose(0, 1).contiguous(), 1).transpose(0, 1)
+    m, n = sim.shape
+    scores = sim.new_full((m + 1, n + 1), 0.0)
+    scores[:m, :n] = scores0 + scores1 + cert
+    scores[:-1, -1] = F.logsigmoid(-z0)
+    scores[-1, :-1] = F.logsigmoid(-z1)
+
+    probs = scores[:-1, :-1].exp()
+    idx0 = probs.argmax(1)
+    idx1 = probs.argmax(0)
+    mutual = torch.arange(m) == idx1.gather(0, idx0)
+    mscores = probs.max(1).values
+    valid = mutual & (mscores > 0.1)
+    matches0 = torch.where(valid, idx0, torch.full_like(idx0, -1))
+    return (np.asarray(scores), np.asarray(matches0),
+            np.asarray(torch.where(valid, mscores,
+                                   torch.zeros_like(mscores))))
+
+
+def test_lightglue_forward_parity():
+    from imcui_tpu.models.matchers import lightglue as lg
+
+    conf = {"features": "custom", "descriptor_dim": 64, "num_heads": 4,
+            "n_layers": 2, "add_scale_ori": False, "match_threshold": 0.1,
+            "precision": "fp32"}
+    params = lg.init_params(jax.random.PRNGKey(11), conf)
+    sd = tree_to_state_dict(params)
+
+    rng = np.random.default_rng(3)
+    n0, n1 = 12, 10
+    kpts0 = rng.uniform(0, 96, (n0, 2)).astype(np.float32)
+    kpts1 = rng.uniform(0, 96, (n1, 2)).astype(np.float32)
+    d0 = rng.normal(size=(n0, 64)).astype(np.float32)
+    d1 = rng.normal(size=(n1, 64)).astype(np.float32)
+    size = np.asarray([96.0, 80.0], np.float32)
+
+    scores_t, matches_t, mscores_t = torch_lightglue(
+        sd, kpts0, kpts1, d0, d1, size, n_layers=2, heads=4)
+
+    out = lg.forward_pair(
+        params, jnp.asarray(kpts0), jnp.asarray(kpts1),
+        jnp.asarray(d0), jnp.asarray(d1),
+        jnp.ones(n0, bool), jnp.ones(n1, bool),
+        jnp.asarray(size), jnp.asarray(size), conf=conf)
+
+    np.testing.assert_array_equal(np.asarray(out["matches0"]), matches_t)
+    np.testing.assert_allclose(np.asarray(out["matching_scores0"]),
+                               mscores_t, atol=2e-5, rtol=1e-4)

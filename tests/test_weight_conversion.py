@@ -106,7 +106,8 @@ def make_lightglue_sd(rng, n_layers=2, dim=256, input_dim=256):
         sd[f"{base}.cross_attn.ffn.1.weight"] = torch.ones(2 * dim)
         sd[f"{base}.cross_attn.ffn.1.bias"] = torch.zeros(2 * dim)
         put(f"{base}.cross_attn.ffn.3", lin(dim, 2 * dim))
-        # adaptive-inference heads present in real ckpts, must be dropped
+        # adaptive-depth confidence heads (upstream has n_layers-1;
+        # the extra one this loop adds for the last layer is ignored)
         put(f"token_confidence.{i}.token.0", lin(1, dim))
     for i in range(n_layers):
         put(f"log_assignment.{i}.matchability", lin(1, dim))
@@ -136,10 +137,14 @@ def test_lightglue_conversion_tree(tmp_path, rng, monkeypatch):
 
     got = np.asarray(linear(params["input_proj"], jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-4)
-    # final (last layer's) assignment head was kept
+    # every per-layer assignment head and confidence head converts
     np.testing.assert_allclose(
-        np.asarray(params["log_assignment"]["final_proj"]["w"]),
+        np.asarray(params["log_assignment"][1]["final_proj"]["w"]),
         sd["log_assignment.1.final_proj.weight"].numpy().T, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["token_confidence"][0]["token"]["w"]),
+        sd["token_confidence.0.token.0.weight"].numpy().T, atol=1e-6,
     )
 
 
