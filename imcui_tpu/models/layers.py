@@ -18,9 +18,21 @@ from jax import lax
 
 def conv2d(p, x, stride=1, padding="SAME", dilation=1, groups=1):
     """2-D convolution. p: {"w": (kh, kw, cin/groups, cout), "b": (cout,)?};
-    x: (B, H, W, C). groups=C with cout=C is a depthwise conv."""
+    x: (B, H, W, C). groups=C with cout=C is a depthwise conv.
+
+    ``padding="SAME"`` means TORCH-style symmetric ``k//2`` padding, not
+    XLA SAME: for strided convs XLA SAME pads asymmetrically (e.g. 0/1
+    for a 3x3 stride-2, 2/3 for a 7x7 stride-2) while torch pads k//2 on
+    both sides — every upstream checkpoint was trained with the latter
+    (caught by tests/test_torch_parity.py's LoFTR backbone fixture; the
+    two conventions agree at stride 1 with odd kernels)."""
     s = (stride, stride) if isinstance(stride, int) else stride
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    if padding == "SAME":
+        kh, kw = p["w"].shape[:2]
+        eh = (kh - 1) * d[0] + 1
+        ew = (kw - 1) * d[1] + 1
+        padding = ((eh // 2, eh // 2), (ew // 2, ew // 2))
     out = lax.conv_general_dilated(
         x,
         p["w"],

@@ -110,9 +110,30 @@ def init_backbone(rng):
 
 
 def _upsample2(x):
-    """Bilinear ×2 upsampling, NHWC (align_corners=False equivalent)."""
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+    """Bilinear ×2 upsampling, NHWC, ALIGN_CORNERS=TRUE — the upstream
+    FPN uses F.interpolate(..., align_corners=True) (zju3dv LoFTR
+    resnet_fpn.py); jax.image.resize only offers the half-pixel
+    convention, which shifts every upsampled feature by ~0.25 px
+    (caught by tests/test_torch_parity.py::test_loftr_backbone_parity).
+    Implemented as two 1-D gathers with precomputed weights."""
+    import numpy as np
+
+    def up_dim(t, axis, n_in):
+        n_out = 2 * n_in
+        if n_in == 1:
+            return jnp.repeat(t, 2, axis)
+        s = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+        i0 = np.clip(np.floor(s).astype(int), 0, n_in - 2)
+        frac = s - i0
+        t0 = jnp.take(t, i0, axis)
+        t1 = jnp.take(t, i0 + 1, axis)
+        fshape = [1] * t.ndim
+        fshape[axis] = n_out
+        fr = jnp.asarray(frac, t.dtype).reshape(fshape)
+        return t0 * (1 - fr) + t1 * fr
+
+    _, h, w, _ = x.shape
+    return up_dim(up_dim(x, 1, h), 2, w)
 
 
 def leaky_relu(x, slope=0.01):

@@ -303,3 +303,380 @@ def test_lightglue_forward_parity():
     np.testing.assert_array_equal(np.asarray(out["matches0"]), matches_t)
     np.testing.assert_allclose(np.asarray(out["matching_scores0"]),
                                mscores_t, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# SuperGlue cross-framework parity: published torch forward (magicleap
+# SuperGlue semantics — keypoint-encoder MLP of 1x1 convs with BN,
+# alternating self/cross attentional GNN, log-domain Sinkhorn with
+# dustbins, mutual-max decoding) vs our JAX implementation with
+# identical weights. Reference wrapper: imcui/hloc/matchers/superglue.py.
+# ---------------------------------------------------------------------------
+
+
+def _sg_mlp(sd, name, x, n_conv):
+    """x: (C, N). Convs at sequential indices 0,3,6,... BN at 1,4,...;
+    the last conv has no BN/ReLU."""
+    import torch.nn.functional as F
+
+    idx = 0
+    for i in range(n_conv):
+        w = torch.from_numpy(np.asarray(
+            sd[f"{name}.{idx}.weight"]))[:, :, None]
+        b = torch.from_numpy(np.asarray(sd[f"{name}.{idx}.bias"]))
+        x = F.conv1d(x[None], w, b)[0]
+        idx += 1
+        if i < n_conv - 1:
+            g = torch.from_numpy(np.asarray(sd[f"{name}.{idx}.weight"]))
+            be = torch.from_numpy(np.asarray(sd[f"{name}.{idx}.bias"]))
+            mu = torch.from_numpy(np.asarray(
+                sd[f"{name}.{idx}.running_mean"]))
+            var = torch.from_numpy(np.asarray(
+                sd[f"{name}.{idx}.running_var"]))
+            x = (x - mu[:, None]) / torch.sqrt(var[:, None] + 1e-5)
+            x = x * g[:, None] + be[:, None]
+            x = F.relu(x)
+            idx += 2
+    return x
+
+
+def torch_superglue(sd_flat, kpts0, kpts1, sc0, sc1, d0, d1, size_wh,
+                    gnn_layers, heads, sinkhorn_iters, threshold):
+    import torch.nn.functional as F
+
+    def lin(name, x):
+        w = torch.from_numpy(np.asarray(sd_flat[f"{name}.weight"]))
+        b = torch.from_numpy(np.asarray(sd_flat[f"{name}.bias"]))
+        return (x.T @ w.T + b).T                      # x: (C, N)
+
+    size = torch.from_numpy(size_wh)
+
+    def norm_kpts(k):
+        center = size / 2
+        scaling = size.max() * 0.7
+        return (torch.from_numpy(k) - center) / scaling
+
+    def kenc(kpts, scores):
+        inp = torch.cat([norm_kpts(kpts),
+                         torch.from_numpy(scores)[:, None]], -1).T  # (3, N)
+        return _sg_mlp(sd_flat, "kenc.encoder", inp, 5)
+
+    x0 = torch.from_numpy(d0).T + kenc(kpts0, sc0)     # (256, N)
+    x1 = torch.from_numpy(d1).T + kenc(kpts1, sc1)
+
+    def attn(layer, x, source):
+        d = x.shape[0]
+        dh = d // heads
+        q = lin(f"{layer}.attn.proj.0", x).T.reshape(-1, heads, dh)
+        k = lin(f"{layer}.attn.proj.1", source).T.reshape(-1, heads, dh)
+        v = lin(f"{layer}.attn.proj.2", source).T.reshape(-1, heads, dh)
+        logits = torch.einsum("nhd,mhd->hnm", q, k) / dh ** 0.5
+        msg = torch.einsum("hnm,mhd->nhd", logits.softmax(-1), v)
+        msg = lin(f"{layer}.attn.merge", msg.reshape(-1, heads * dh).T)
+        return _sg_mlp(sd_flat, f"{layer}.mlp",
+                       torch.cat([x, msg], 0), 2)
+
+    for i in range(gnn_layers):
+        nm = f"gnn.layers.{i}"
+        if i % 2 == 0:
+            d0_, d1_ = attn(nm, x0, x0), attn(nm, x1, x1)
+        else:
+            d0_, d1_ = attn(nm, x0, x1), attn(nm, x1, x0)
+        x0, x1 = x0 + d0_, x1 + d1_
+
+    m0 = lin("final_proj", x0).T                       # (N, 256)
+    m1 = lin("final_proj", x1).T
+    d = m0.shape[-1]
+    scores = torch.einsum("nd,md->nm", m0, m1) / d ** 0.5
+
+    # published log_optimal_transport
+    alpha = torch.from_numpy(np.asarray(sd_flat["bin_score"]).reshape(()))
+    m, n = scores.shape
+    ms, ns = torch.tensor(float(m)), torch.tensor(float(n))
+    couplings = torch.cat([
+        torch.cat([scores, alpha.expand(m, 1)], -1),
+        torch.cat([alpha.expand(1, n), alpha.expand(1, 1)], -1)], 0)
+    norm = -(ms + ns).log()
+    log_mu = torch.cat([norm.expand(m), ns.log()[None] + norm])
+    log_nu = torch.cat([norm.expand(n), ms.log()[None] + norm])
+    u, v = torch.zeros_like(log_mu), torch.zeros_like(log_nu)
+    for _ in range(sinkhorn_iters):
+        u = log_mu - torch.logsumexp(couplings + v[None, :], dim=1)
+        v = log_nu - torch.logsumexp(couplings + u[:, None], dim=0)
+    Z = couplings + u[:, None] + v[None, :] - norm
+
+    probs = Z[:-1, :-1].exp()
+    idx0 = Z[:-1, :-1].max(1).indices
+    idx1 = Z[:-1, :-1].max(0).indices
+    mutual = torch.arange(m) == idx1.gather(0, idx0)
+    mscores = torch.where(mutual, probs.max(1).values,
+                          torch.zeros(m))
+    valid = mutual & (mscores > threshold)
+    matches0 = torch.where(valid, idx0, torch.full_like(idx0, -1))
+    return np.asarray(matches0), np.asarray(
+        torch.where(valid, mscores, torch.zeros(m)))
+
+
+def test_superglue_forward_parity():
+    from imcui_tpu.models.matchers import superglue as sg
+
+    conf = {"descriptor_dim": 256, "num_heads": 4, "gnn_layers": 4,
+            "sinkhorn_iterations": 20, "match_threshold": 0.2,
+            "weights": "outdoor"}
+    params = sg.init_params(jax.random.PRNGKey(21), conf)
+    sd = tree_to_state_dict(params)
+
+    rng = np.random.default_rng(5)
+    n0, n1 = 14, 11
+    kpts0 = rng.uniform(0, 96, (n0, 2)).astype(np.float32)
+    kpts1 = rng.uniform(0, 96, (n1, 2)).astype(np.float32)
+    sc0 = rng.uniform(0, 1, n0).astype(np.float32)
+    sc1 = rng.uniform(0, 1, n1).astype(np.float32)
+    d0 = rng.normal(size=(n0, 256)).astype(np.float32)
+    d1 = rng.normal(size=(n1, 256)).astype(np.float32)
+    size = np.asarray([96.0, 80.0], np.float32)
+
+    matches_t, mscores_t = torch_superglue(
+        sd, kpts0, kpts1, sc0, sc1, d0, d1, size,
+        gnn_layers=4, heads=4, sinkhorn_iters=20, threshold=0.2)
+
+    out = sg.forward_pair(
+        params, jnp.asarray(kpts0), jnp.asarray(kpts1),
+        jnp.asarray(sc0), jnp.asarray(sc1),
+        jnp.asarray(d0), jnp.asarray(d1),
+        jnp.ones(n0, bool), jnp.ones(n1, bool),
+        jnp.asarray(size), jnp.asarray(size), conf=conf)
+
+    np.testing.assert_array_equal(np.asarray(out["matches0"]), matches_t)
+    np.testing.assert_allclose(np.asarray(out["matching_scores0"]),
+                               mscores_t, atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# LoFTR cross-framework parity: published torch forward (ResNetFPN_8_2
+# backbone with align-corners FPN upsampling, (elu+1) linear-attention
+# encoder layers, dual-softmax coarse matching) vs our JAX
+# implementation with identical weights. Reference wrapper:
+# imcui/hloc/matchers/loftr.py (kornia LoFTR = the published zju3dv
+# architecture).
+# ---------------------------------------------------------------------------
+
+
+def _lconv(sd, name, x, stride=1, pad=None):
+    import torch.nn.functional as F
+    w = torch.from_numpy(np.asarray(sd[f"{name}.weight"]))
+    if pad is None:
+        pad = w.shape[-1] // 2
+    return F.conv2d(x, w, None, stride=stride, padding=pad)
+
+
+def _lbn(sd, name, x):
+    mu = torch.from_numpy(np.asarray(sd[f"{name}.running_mean"]))
+    var = torch.from_numpy(np.asarray(sd[f"{name}.running_var"]))
+    g = torch.from_numpy(np.asarray(sd[f"{name}.weight"]))
+    b = torch.from_numpy(np.asarray(sd[f"{name}.bias"]))
+    return (x - mu[:, None, None]) / torch.sqrt(
+        var[:, None, None] + 1e-5) * g[:, None, None] + b[:, None, None]
+
+
+def torch_loftr_backbone(sd, img):
+    """ResNetFPN_8_2 (zju3dv LoFTR resnet_fpn.py) from the state_dict.
+    img: (H, W) → (coarse (Hc, Wc, 256), fine (Hf, Wf, 128))."""
+    import torch.nn.functional as F
+    pre = "backbone"
+    x = torch.from_numpy(img)[None, None]
+
+    def block(name, x, stride):
+        y = F.relu(_lbn(sd, f"{name}.bn1",
+                        _lconv(sd, f"{name}.conv1", x, stride)[0])[None])
+        y = _lbn(sd, f"{name}.bn2", _lconv(sd, f"{name}.conv2", y)[0])[None]
+        if f"{name}.downsample.0.weight" in sd:
+            x = _lbn(sd, f"{name}.downsample.1",
+                     _lconv(sd, f"{name}.downsample.0", x, stride,
+                            pad=0)[0])[None]
+        return F.relu(x + y)
+
+    x0 = F.relu(_lbn(sd, f"{pre}.bn1",
+                     _lconv(sd, f"{pre}.conv1", x, 2)[0])[None])
+    x1 = block(f"{pre}.layer1.1", block(f"{pre}.layer1.0", x0, 1), 1)
+    x2 = block(f"{pre}.layer2.1", block(f"{pre}.layer2.0", x1, 2), 1)
+    x3 = block(f"{pre}.layer3.1", block(f"{pre}.layer3.0", x2, 2), 1)
+
+    def up2(t):  # upstream: align_corners=True
+        return F.interpolate(t, scale_factor=2.0, mode="bilinear",
+                             align_corners=True)
+
+    x3_out = _lconv(sd, f"{pre}.layer3_outconv", x3, pad=0)
+    x2_out = _lconv(sd, f"{pre}.layer2_outconv", x2, pad=0) + up2(x3_out)
+    q = f"{pre}.layer2_outconv2"
+    x2_out = _lconv(sd, f"{q}.3", F.leaky_relu(
+        _lbn(sd, f"{q}.1", _lconv(sd, f"{q}.0", x2_out)[0])[None], 0.01))
+    x1_out = _lconv(sd, f"{pre}.layer1_outconv", x1, pad=0) + up2(x2_out)
+    q = f"{pre}.layer1_outconv2"
+    x1_out = _lconv(sd, f"{q}.3", F.leaky_relu(
+        _lbn(sd, f"{q}.1", _lconv(sd, f"{q}.0", x1_out)[0])[None], 0.01))
+    return (np.asarray(x3_out[0].permute(1, 2, 0)),
+            np.asarray(x1_out[0].permute(1, 2, 0)))
+
+
+def torch_loftr_encoder_layer(sd, name, x, source, nhead=8):
+    import torch.nn.functional as F
+
+    def lin(nm, t):
+        w = torch.from_numpy(np.asarray(sd[f"{nm}.weight"]))
+        return t @ w.T
+
+    n, d = x.shape
+    dh = d // nhead
+    q = lin(f"{name}.q_proj", x).reshape(n, nhead, dh)
+    k = lin(f"{name}.k_proj", source).reshape(-1, nhead, dh)
+    v = lin(f"{name}.v_proj", source).reshape(-1, nhead, dh)
+    Q = F.elu(q) + 1.0
+    K = F.elu(k) + 1.0
+    kv = torch.einsum("mhd,mhv->hdv", K, v)
+    z = 1.0 / (torch.einsum("nhd,hd->nh", Q, K.sum(0)) + 1e-6)
+    msg = torch.einsum("nhd,hdv,nh->nhv", Q, kv, z).reshape(n, d)
+    msg = lin(f"{name}.merge", msg)
+    g = torch.from_numpy(np.asarray(sd[f"{name}.norm1.weight"]))
+    b = torch.from_numpy(np.asarray(sd[f"{name}.norm1.bias"]))
+    msg = F.layer_norm(msg, (d,), g, b)
+    h = torch.cat([x, msg], -1)
+    h = lin(f"{name}.mlp.2", F.relu(lin(f"{name}.mlp.0", h)))
+    g = torch.from_numpy(np.asarray(sd[f"{name}.norm2.weight"]))
+    b = torch.from_numpy(np.asarray(sd[f"{name}.norm2.bias"]))
+    h = F.layer_norm(h, (d,), g, b)
+    return x + h
+
+
+@pytest.fixture(scope="module")
+def loftr_fixture():
+    from imcui_tpu.models.matchers import loftr
+    params = loftr.init_params(jax.random.PRNGKey(31), n_coarse_layers=2,
+                               n_fine_layers=2)
+    sd = tree_to_state_dict(params)
+    img = np.random.default_rng(7).uniform(size=(64, 96)).astype(np.float32)
+    return params, sd, img
+
+
+def test_loftr_backbone_parity(loftr_fixture):
+    from imcui_tpu.models.matchers import loftr
+    params, sd, img = loftr_fixture
+    coarse_t, fine_t = torch_loftr_backbone(sd, img)
+    c_j, f_j = loftr.backbone_apply(params["backbone"],
+                                    jnp.asarray(img)[None, :, :, None])
+    np.testing.assert_allclose(np.asarray(c_j)[0], coarse_t,
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_j)[0], fine_t,
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_loftr_encoder_layer_parity(loftr_fixture):
+    from imcui_tpu.models.matchers import loftr
+    params, sd, _ = loftr_fixture
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(20, 256)).astype(np.float32)
+    src = rng.normal(size=(24, 256)).astype(np.float32)
+    ref = torch_loftr_encoder_layer(
+        sd, "loftr_coarse.layers.0", torch.from_numpy(x),
+        torch.from_numpy(src))
+    got = loftr.encoder_layer(params["loftr_coarse"]["layers"][0],
+                              jnp.asarray(x), jnp.asarray(src))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 ViT cross-framework parity (RoMa's encoder): published torch
+# forward (patch embed → +cls/pos → pre-norm attention with LayerScale →
+# exact-GELU MLP → final norm) from an upstream-named synthetic
+# state_dict, vs our JAX implementation through the REAL conversion path
+# (backbones/dinov2.convert_state_dict). Grid == pretraining grid so the
+# bicubic pos-embed interpolation (torch a=-0.75 vs jax a=-0.5 cubic
+# kernels — intentionally not bit-matched) stays inactive.
+# ---------------------------------------------------------------------------
+
+
+def _make_dinov2_sd(rng, dim=64, depth=2, grid=4, patch=14):
+    sd = {}
+    sd["patch_embed.proj.weight"] = rng.normal(
+        size=(dim, 3, patch, patch)).astype(np.float32) * 0.02
+    sd["patch_embed.proj.bias"] = rng.normal(size=(dim,)).astype(np.float32)
+    sd["cls_token"] = rng.normal(size=(1, 1, dim)).astype(np.float32) * 0.02
+    sd["pos_embed"] = rng.normal(
+        size=(1, 1 + grid * grid, dim)).astype(np.float32) * 0.02
+    for i in range(depth):
+        b = f"blocks.{i}"
+        for nm, shape in ((f"{b}.attn.qkv", (3 * dim, dim)),
+                          (f"{b}.attn.proj", (dim, dim)),
+                          (f"{b}.mlp.fc1", (4 * dim, dim)),
+                          (f"{b}.mlp.fc2", (dim, 4 * dim))):
+            sd[f"{nm}.weight"] = rng.normal(size=shape).astype(
+                np.float32) * 0.05
+            sd[f"{nm}.bias"] = rng.normal(size=(shape[0],)).astype(
+                np.float32) * 0.02
+        for nm in (f"{b}.norm1", f"{b}.norm2"):
+            sd[f"{nm}.weight"] = 1 + 0.1 * rng.normal(
+                size=(dim,)).astype(np.float32)
+            sd[f"{nm}.bias"] = 0.1 * rng.normal(size=(dim,)).astype(
+                np.float32)
+        sd[f"{b}.ls1.gamma"] = rng.uniform(
+            0.5, 1.5, (dim,)).astype(np.float32)
+        sd[f"{b}.ls2.gamma"] = rng.uniform(
+            0.5, 1.5, (dim,)).astype(np.float32)
+    sd["norm.weight"] = 1 + 0.1 * rng.normal(size=(dim,)).astype(np.float32)
+    sd["norm.bias"] = 0.1 * rng.normal(size=(dim,)).astype(np.float32)
+    return sd
+
+
+def torch_dinov2(sd, img, dim, depth, heads, patch):
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    x = torch.from_numpy(img).permute(2, 0, 1)[None]
+    x = F.conv2d(x, t["patch_embed.proj.weight"],
+                 t["patch_embed.proj.bias"], stride=patch)
+    hp, wp = x.shape[-2:]
+    x = x.flatten(2).transpose(1, 2)[0]                # (Hp*Wp, dim)
+    x = torch.cat([t["cls_token"][0], x], 0)
+    x = x + t["pos_embed"][0]
+
+    def ln(nm, y):
+        return F.layer_norm(y, (dim,), t[f"{nm}.weight"], t[f"{nm}.bias"])
+
+    for i in range(depth):
+        b = f"blocks.{i}"
+        y = ln(f"{b}.norm1", x)
+        qkv = y @ t[f"{b}.attn.qkv.weight"].T + t[f"{b}.attn.qkv.bias"]
+        n = y.shape[0]
+        dh = dim // heads
+        qkv = qkv.reshape(n, 3, heads, dh).permute(1, 2, 0, 3)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attnmat = (q @ k.transpose(-2, -1)) / dh ** 0.5
+        out = (attnmat.softmax(-1) @ v).permute(1, 0, 2).reshape(n, dim)
+        out = out @ t[f"{b}.attn.proj.weight"].T + t[f"{b}.attn.proj.bias"]
+        x = x + t[f"{b}.ls1.gamma"] * out
+        y = ln(f"{b}.norm2", x)
+        h = F.gelu(y @ t[f"{b}.mlp.fc1.weight"].T + t[f"{b}.mlp.fc1.bias"])
+        h = h @ t[f"{b}.mlp.fc2.weight"].T + t[f"{b}.mlp.fc2.bias"]
+        x = x + t[f"{b}.ls2.gamma"] * h
+    x = ln("norm", x)
+    return np.asarray(x[1:])                           # patch tokens
+
+
+def test_dinov2_forward_parity():
+    from imcui_tpu.models.backbones import dinov2
+
+    dim, depth, heads, patch, grid = 64, 2, 4, 14, 4
+    cfg = {"dim": dim, "depth": depth, "num_heads": heads, "patch": patch,
+           "mlp_ratio": 4, "pretrain_grid": grid}
+    rng = np.random.default_rng(9)
+    sd = _make_dinov2_sd(rng, dim, depth, grid, patch)
+    params = dinov2.convert_state_dict(sd, depth)
+
+    img = rng.uniform(size=(grid * patch, grid * patch, 3)).astype(
+        np.float32)
+    ref = torch_dinov2(sd, img, dim, depth, heads, patch)
+    got, (hp, wp) = dinov2.apply(params, jnp.asarray(img), cfg,
+                                 normalize=False)
+    assert (hp, wp) == (grid, grid)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-5, rtol=1e-4)
