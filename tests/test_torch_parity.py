@@ -680,3 +680,100 @@ def test_dinov2_forward_parity():
                                  normalize=False)
     assert (hp, wp) == (grid, grid)
     np.testing.assert_allclose(np.asarray(got), ref, atol=5e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Op-semantics parity: every shared building-block op vs its exact torch
+# equivalent. This pins the CLASS of bug the model fixtures above caught
+# (tanh-vs-erf GELU, asymmetric stride-2 padding, align-corners
+# upsampling) for the ops all other converted models are built from.
+# ---------------------------------------------------------------------------
+
+
+def test_op_semantics_vs_torch():
+    import torch.nn.functional as F
+    from imcui_tpu.models import layers
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 8, 12, 16)).astype(np.float32)
+    xj = jnp.asarray(x)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+
+    def chk(name, j, t, atol=1e-5):
+        np.testing.assert_allclose(
+            np.asarray(j), np.asarray(t.permute(0, 2, 3, 1)), atol=atol,
+            err_msg=name)
+
+    # gelu: exact erf (torch nn.GELU default)
+    np.testing.assert_allclose(
+        np.asarray(layers.gelu(xj)),
+        np.asarray(F.gelu(torch.from_numpy(x))), atol=1e-6,
+        err_msg="gelu")
+
+    # stride-2 conv, odd kernels: torch symmetric padding
+    for k in (3, 5, 7):
+        w = rng.normal(size=(k, k, 16, 8)).astype(np.float32) * 0.1
+        wt = torch.from_numpy(w).permute(3, 2, 0, 1)
+        for s in (1, 2):
+            chk(f"conv{k}s{s}",
+                layers.conv2d({"w": jnp.asarray(w)}, xj, stride=s),
+                F.conv2d(xt, wt, stride=s, padding=k // 2), atol=1e-4)
+
+    # dilated conv (r2d2-style): torch padding = d*(k-1)//2
+    w = rng.normal(size=(3, 3, 16, 8)).astype(np.float32) * 0.1
+    wt = torch.from_numpy(w).permute(3, 2, 0, 1)
+    chk("conv3d2", layers.conv2d({"w": jnp.asarray(w)}, xj, dilation=2),
+        F.conv2d(xt, wt, padding=2, dilation=2), atol=1e-4)
+
+    # max/avg pool 2x2 stride 2
+    chk("maxpool", layers.max_pool(xj), F.max_pool2d(xt, 2, 2))
+    from imcui_tpu.models.extractors.disk import avg_pool, instance_norm, \
+        prelu
+    chk("avgpool", avg_pool(xj), F.avg_pool2d(xt, 2, 2))
+
+    # instance norm (affine-free, eps 1e-5 = torch default)
+    chk("instnorm", instance_norm(xj), F.instance_norm(xt), atol=1e-4)
+
+    # PReLU per-channel
+    a = rng.uniform(0.1, 0.5, 16).astype(np.float32)
+    chk("prelu", prelu({"alpha": jnp.asarray(a)}, xj),
+        F.prelu(xt, torch.from_numpy(a)))
+
+    # layer norm eps (1e-5 = torch default)
+    g = rng.normal(size=(16,)).astype(np.float32)
+    b = rng.normal(size=(16,)).astype(np.float32)
+    got = layers.layer_norm({"scale": jnp.asarray(g),
+                             "bias": jnp.asarray(b)}, xj)
+    want = F.layer_norm(torch.from_numpy(x), (16,), torch.from_numpy(g),
+                        torch.from_numpy(b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, err_msg="layernorm")
+
+    # batch norm inference eps
+    bn = {"scale": jnp.asarray(g), "bias": jnp.asarray(b),
+          "mean": jnp.asarray(rng.normal(size=16).astype(np.float32)),
+          "var": jnp.asarray(rng.uniform(0.5, 2, 16).astype(np.float32))}
+    got = layers.batch_norm_inference(bn, xj)
+    want = F.batch_norm(xt, torch.from_numpy(np.asarray(bn["mean"])),
+                        torch.from_numpy(np.asarray(bn["var"])),
+                        torch.from_numpy(g), torch.from_numpy(b),
+                        training=False)
+    chk("batchnorm", got, want, atol=1e-4)
+
+    # half-pixel bilinear x2 (torch align_corners=False) == jax resize
+    up_t = F.interpolate(xt, scale_factor=2.0, mode="bilinear",
+                         align_corners=False)
+    up_j = jax.image.resize(xj, (2, 16, 24, 16), method="bilinear")
+    chk("bilinear_halfpixel", up_j, up_t, atol=1e-5)
+
+    # align-corners bilinear x2 == loftr._upsample2
+    from imcui_tpu.models.matchers.loftr import _upsample2
+    up_t = F.interpolate(xt, scale_factor=2.0, mode="bilinear",
+                         align_corners=True)
+    chk("bilinear_aligncorners", _upsample2(xj), up_t, atol=1e-5)
+
+    # elu+1 feature map (loftr linear attention)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.elu(xj) + 1.0),
+        np.asarray(F.elu(torch.from_numpy(x)) + 1.0), atol=1e-6,
+        err_msg="elu")
