@@ -94,3 +94,68 @@ def test_match_dense_batch_pipeline(tmp_path):
     if len(m):
         assert m[:, 0].max() < len(kp_a)
         assert m[:, 1].max() < len(kp_b)
+
+
+def test_scene_info_conversion_and_api_glue(tmp_path, rng):
+    """The MegaDepth plumbing that only runs on real data elsewhere:
+    convert_scene_info (upstream scene_info npz → pair JSON with correct
+    relative poses) and api_matcher_fn (ImageMatchingAPI adapter) driven
+    end-to-end through evaluate_pairs on disk images. Pose accuracy is
+    gated by test_eval_harness_synthetic; this pins that the full
+    file-in/metrics-out path executes."""
+    import cv2
+
+    from imcui_tpu.api.core import ImageMatchingAPI
+    from imcui_tpu.eval import megadepth
+
+    # --- synthetic upstream-format scene_info npz ---
+    K = np.array([[400.0, 0, 96], [0, 400.0, 64], [0, 0, 1]])
+    T0 = np.eye(4)
+    T1 = np.eye(4)
+    T1[:3, 3] = [0.2, 0.0, 0.05]
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    img = (rng.rand(128, 192, 3) * 255).astype(np.uint8)
+    # blur for SIFT-able texture, shift for the second view
+    img = cv2.GaussianBlur(img, (0, 0), 2.0)
+    cv2.imwrite(str(img_root / "a.jpg"), img)
+    cv2.imwrite(str(img_root / "b.jpg"), np.roll(img, 5, axis=1))
+    npz = tmp_path / "scene.npz"
+    np.savez(
+        npz,
+        pair_infos=np.array([(np.array([0, 1]), 0.5, None)],
+                            dtype=object),
+        poses=np.stack([T0, T1]),
+        intrinsics=np.stack([K, K]),
+        image_paths=np.array(["a.jpg", "b.jpg"]),
+    )
+    out_json = tmp_path / "pairs.json"
+    pairs = megadepth.convert_scene_info(npz, img_root, out_json)
+    assert len(pairs) == 1
+    T_0to1 = np.asarray(pairs[0]["R"]), np.asarray(pairs[0]["t"])
+    np.testing.assert_allclose(T_0to1[0], np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(T_0to1[1], T1[:3, 3], atol=1e-9)
+    assert json.load(open(out_json))[0]["img0"].endswith("a.jpg")
+
+    # --- API glue: weight-free sift+NN through evaluate_pairs ---
+    conf = {
+        "feature": {
+            "output": "feats-sift",
+            "model": {"name": "sift", "max_keypoints": 512},
+            "preprocessing": {"grayscale": True, "resize_max": 192,
+                              "dfactor": 8},
+        },
+        "matcher": {
+            "output": "matches-NN-mutual",
+            "model": {"name": "nearest_neighbor", "do_mutual_check": True,
+                      "match_threshold": 0.2},
+        },
+        "dense": False, "standalone": False,
+    }
+    api = ImageMatchingAPI(conf=conf)
+    res = megadepth.evaluate_pairs(
+        megadepth.api_matcher_fn(api), pairs, ransac_threshold_px=2.0,
+        num_hypotheses=128)
+    assert set(res) >= {"auc@5", "auc@10", "auc@20", "median_err_deg",
+                        "mean_matches", "errors"}
+    assert res["mean_matches"] > 8  # textured roll-pair must match
