@@ -115,3 +115,86 @@ def test_pose_auc_sanity():
     errors = np.array([1.0, 3.0, 8.0, 15.0, 50.0])
     aucs = pose.pose_auc(errors, thresholds=(5.0, 10.0, 20.0))
     assert 0 < aucs[0] < aucs[1] < aucs[2] < 1
+
+
+def test_ransac_quality_vs_opencv(rng):
+    """Head-to-head with OpenCV's USAC_MAGSAC (the reference's default
+    estimator) on identical contaminated correspondence sets: the
+    on-device estimator must recover models of comparable quality
+    (within 1.5x the OpenCV ground-truth-inlier reprojection error) for
+    both homography and fundamental geometry."""
+    import cv2
+    import jax
+
+    from imcui_tpu.ops import ransac as ransac_ops
+
+    n_in, n_out = 150, 100
+    # ground-truth homography scene
+    H_gt = np.array([[1.1, 0.08, 14.0], [-0.05, 0.97, -9.0],
+                     [1.5e-4, -8e-5, 1.0]])
+    p0 = rng.uniform(40, 600, (n_in, 2)).astype(np.float64)
+    ph = np.concatenate([p0, np.ones((n_in, 1))], 1) @ H_gt.T
+    p1 = ph[:, :2] / ph[:, 2:]
+    p0 = np.concatenate([p0, rng.uniform(0, 640, (n_out, 2))])
+    p1 = np.concatenate([p1 + rng.randn(n_in, 2) * 0.4,
+                         rng.uniform(0, 640, (n_out, 2))])
+    order = rng.permutation(len(p0))
+    p0, p1 = p0[order].astype(np.float32), p1[order].astype(np.float32)
+    gt_inlier = order < n_in
+
+    Hcv, mask_cv = cv2.findHomography(
+        p0, p1, cv2.USAC_MAGSAC, 3.0, confidence=0.9999, maxIters=5000)
+
+    out = ransac_ops.ransac(
+        jax.random.PRNGKey(0), jnp.asarray(p0), jnp.asarray(p1),
+        jnp.ones(len(p0), bool), model="homography", threshold=3.0,
+        num_hypotheses=1024)
+    H_tpu = np.asarray(out["M"], np.float64)
+
+    def reproj_err(H):
+        q = np.concatenate([p0[gt_inlier],
+                            np.ones((n_in, 1), np.float32)], 1) @ H.T
+        q = q[:, :2] / q[:, 2:]
+        return float(np.median(np.linalg.norm(q - p1[gt_inlier], axis=1)))
+
+    e_cv, e_tpu = reproj_err(Hcv), reproj_err(H_tpu)
+    assert e_tpu < max(1.5 * e_cv, 1.0), (e_tpu, e_cv)
+    assert int(out["num_inliers"]) > 0.8 * n_in
+
+    # fundamental: same scene viewed as epipolar geometry via a known
+    # camera motion
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    ang = 0.25
+    R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([1.0, 0.15, 0.1]); t /= np.linalg.norm(t)
+    X = rng.uniform(-2, 2, (n_in, 3)) + np.array([0, 0, 6.0])
+    x0 = X @ K.T; f0 = (x0[:, :2] / x0[:, 2:])
+    X1 = X @ R.T + t
+    x1 = X1 @ K.T; f1 = (x1[:, :2] / x1[:, 2:])
+    f0 = np.concatenate([f0, rng.uniform(0, 640, (n_out, 2))])
+    f1 = np.concatenate([f1 + rng.randn(n_in, 2) * 0.3,
+                         rng.uniform(0, 640, (n_out, 2))])
+    f0, f1 = f0.astype(np.float32), f1.astype(np.float32)
+
+    Fcv, _ = cv2.findFundamentalMat(
+        f0, f1, cv2.USAC_MAGSAC, 2.0, confidence=0.9999, maxIters=5000)
+    out = ransac_ops.ransac(
+        jax.random.PRNGKey(1), jnp.asarray(f0), jnp.asarray(f1),
+        jnp.ones(len(f0), bool), model="fundamental", threshold=2.0,
+        num_hypotheses=1024)
+    F_tpu = np.asarray(out["M"], np.float64)
+
+    def sampson(F):
+        a = np.concatenate([f0[:n_in], np.ones((n_in, 1), np.float32)], 1)
+        b = np.concatenate([f1[:n_in], np.ones((n_in, 1), np.float32)], 1)
+        Fa = a @ F.T
+        Fb = b @ F
+        num = np.abs(np.sum(b * (a @ F.T), 1))
+        den = np.sqrt(Fa[:, 0] ** 2 + Fa[:, 1] ** 2
+                      + Fb[:, 0] ** 2 + Fb[:, 1] ** 2)
+        return float(np.median(num / np.maximum(den, 1e-9)))
+
+    e_cv, e_tpu = sampson(Fcv), sampson(F_tpu)
+    assert e_tpu < max(1.5 * e_cv, 0.8), (e_tpu, e_cv)
+    assert int(out["num_inliers"]) > 0.7 * n_in
