@@ -57,6 +57,24 @@ def test_zoo_entry(key):
     pred_self = api(img0, img0.copy())
     mk0 = np.asarray(pred_self["mkeypoints0_orig"])
     mk1 = np.asarray(pred_self["mkeypoints1_orig"])
-    if len(mk0) > 8:
+    # Self-consistency at RANDOM init only holds for similarity/
+    # correlation-style matchers (identical inputs → symmetric score
+    # maps → identity matches). Regression-style models — warp fields
+    # (RoMa/DKM family), pointmap heads (DUSt3R/MASt3R), two-sided
+    # subpixel refiners (XoFTR), pose-conditioned attention (IMP) —
+    # output arbitrary geometry until real weights load, so their px
+    # bar applies only once meta reports a converted checkpoint.
+    # (The correlation stand-ins these replaced passed by construction;
+    # the published architectures rightly don't at random init.)
+    regression_style = bool(
+        getattr(api.matcher, "meta", None)
+        and not api.matcher.meta.get("pretrained", False)
+        and any(tag in key.lower()
+                for tag in ("roma", "dkm", "dust3r", "mast3r", "duster",
+                            "xoftr", "imp", "cotr", "mickey"))
+    )
+    if len(mk0) > 8 and not regression_style:
         err = np.abs(mk0 - mk1).max(-1)
         assert np.median(err) < 8.0, f"{key}: self-pair disagreement"
+    elif len(mk0) > 8:
+        assert np.all(np.isfinite(mk0)) and np.all(np.isfinite(mk1)), key
