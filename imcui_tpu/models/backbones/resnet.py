@@ -5,7 +5,8 @@ eigenplaces.py:32, which pull ResNet trunks from torch.hub)."""
 import jax
 import jax.numpy as jnp
 
-from ..layers import batch_norm_inference, conv2d, init_conv, max_pool, relu
+from ..layers import (batch_norm_inference, conv2d, init_conv,
+                      max_pool3_s2, relu)
 
 
 def init_bn(c):
@@ -67,7 +68,7 @@ def resnet18_apply(params, x):
     """x: (B, H, W, 3) → (B, H/32, W/32, 512) feature map."""
     x = relu(batch_norm_inference(
         params["bn1"], conv2d(params["conv1"], x, stride=2)))
-    x = max_pool(x, window=2, stride=2)  # torchvision uses 3×3 s2 maxpool
+    x = max_pool3_s2(x)  # torchvision stem pool: 3×3, stride 2, pad 1
     for li, (cout, blocks, stride) in enumerate(LAYERS_18, start=1):
         layer = params[f"layer{li}"]
         for bi in range(blocks):
@@ -152,10 +153,29 @@ def resnet_apply(params, x, depth="resnet50"):
     blocks = BOTTLENECK_BLOCKS[depth]
     x = relu(batch_norm_inference(
         params["bn1"], conv2d(params["conv1"], x, stride=2)))
-    x = max_pool(x, window=2, stride=2)
+    x = max_pool3_s2(x)  # torchvision stem pool: 3×3, stride 2, pad 1
     for li, n in enumerate(blocks, start=1):
         layer = params[f"layer{li}"]
         for bi in range(n):
             x = bottleneck_block(layer[str(bi)], x,
                                  2 if (bi == 0 and li > 1) else 1)
     return x
+
+
+def resnet_pyramid_apply(params, x, depth="resnet50"):
+    """Feature pyramid for the DKM family (upstream dkm.models.dkm
+    ``ResNet50``: {1: image, 2: stem relu, 4: layer1, 8: layer2,
+    16: layer3, 32: layer4}). x: (H, W, 3) → dict of (h, w, c) maps."""
+    blocks = BOTTLENECK_BLOCKS[depth]
+    feats = {1: x}
+    y = relu(batch_norm_inference(
+        params["bn1"], conv2d(params["conv1"], x[None], stride=2)))
+    feats[2] = y[0]
+    y = max_pool3_s2(y)
+    for li, n in enumerate(blocks, start=1):
+        layer = params[f"layer{li}"]
+        for bi in range(n):
+            y = bottleneck_block(layer[str(bi)], y,
+                                 2 if (bi == 0 and li > 1) else 1)
+        feats[2 ** (li + 1)] = y[0]
+    return feats

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
+from ...ops import sampling
 from ...utils.base_model import BaseModel
 from ...utils.weights import load_params_auto
 from ..layers import (batch_norm_inference, conv2d, init_conv, init_linear,
@@ -165,37 +166,51 @@ def backbone(params, x):
 )
 def apply(params, image, valid_wh, max_keypoints=4096,
           detection_threshold=0.05):
-    """image: (B, 1, H, W); returns the reference extractor contract."""
+    """image: (B, 1, H, W), H/W multiples of 32.
+
+    Published ``detectAndCompute`` ordering (verlab accelerated_features
+    xfeat.py): NMS is a plain 5×5 equality test on the cell-softmax
+    heatmap K1h alone (threshold on K1h); the ranking/output score is
+    K1h × H1 with the reliability map H1 sampled through XFeat's
+    quirk grid (normalised by W−1/H−1, sampled align_corners=False);
+    descriptors are sampled from the L2-normalised 1/8 map with a
+    BICUBIC kernel and re-normalised."""
     x = image.transpose(0, 2, 3, 1)
     feats, heat, kpt_logits = backbone(params, x)
-    # cell softmax → full-res detection map, modulated by reliability
+    feats = feats / jnp.maximum(
+        jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
     probs = jax.nn.softmax(kpt_logits, -1)[..., :64]
 
     def to_full(p):  # (Hc, Wc, 64) → (H, W)
         return nms_ops.depth_to_space(p.transpose(2, 0, 1), 8)[0]
 
-    scores_full = jax.vmap(to_full)(probs)
-    heat_full = jax.vmap(
-        lambda h: jax.image.resize(
-            h, (h.shape[0] * 8, h.shape[1] * 8), method="bilinear")
-    )(heat)
-    scores_full = scores_full * heat_full
+    k1h = jax.vmap(to_full)(probs)
+    h, w = k1h.shape[1:]
 
-    h, w = scores_full.shape[1:]
-    hc, wc = feats.shape[1:3]
+    # pixel grid in XFeat's quirk normalisation, for the dense H1 lookup
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    pix = jnp.stack([xs, ys], -1)
 
-    def per_image(scores, fmap, vwh):
-        scores = nms_ops.simple_nms(scores, 2)
-        scores = scores * nms_ops.border_mask(h, w, 4, valid_wh=vwh,
-                                              dtype=scores.dtype)
+    def per_image(scores, hmap, fmap, vwh):
+        local_max = (scores == nms_ops.max_pool_2d(scores, 2)) \
+            & (scores > detection_threshold)
+        hup = sampling.grid_sample(
+            hmap[..., None], sampling.xfeat_grid(pix, h, w),
+            mode="bilinear")[..., 0]
+        rank = jnp.where(local_max, scores * hup, 0.0)
+        rank = rank * nms_ops.border_mask(h, w, 1, valid_wh=vwh,
+                                          dtype=rank.dtype)
         kpts, kscores, mask = nms_ops.select_topk_keypoints(
-            scores, max_keypoints, detection_threshold)
-        desc = nms_ops.sample_descriptors(
-            kpts, fmap.transpose(2, 0, 1), s=8)
-        return kpts, kscores, desc, mask
+            rank, max_keypoints, 0.0)
+        desc = sampling.grid_sample(
+            fmap, sampling.xfeat_grid(kpts, h, w), mode="bicubic")
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+        return kpts, kscores, desc.T, mask
 
     kpts, kscores, desc, mask = jax.vmap(per_image)(
-        scores_full, feats, valid_wh)
+        k1h, heat, feats, valid_wh)
     return {"keypoints": kpts, "scores": kscores, "descriptors": desc,
             "mask": mask}
 
@@ -219,17 +234,25 @@ class XFeat(BaseModel):
         if image.shape[1] == 3:
             image = image.mean(1, keepdims=True)
         b, _, h, w = image.shape
-        # pad to /32 (block5 depth)
-        hp, wp = -(-h // 32) * 32, -(-w // 32) * 32
+        # published preprocess_tensor: RESIZE (bilinear, half-pixel) down
+        # to /32 multiples — not pad — then rescale keypoints back
+        hp, wp = max(h // 32, 1) * 32, max(w // 32, 1) * 32
         if (hp, wp) != (h, w):
-            image = jnp.pad(image, ((0, 0), (0, 0), (0, hp - h),
-                                    (0, wp - w)))
+            image = jax.image.resize(image, (b, 1, hp, wp), "bilinear")
         if "valid_wh" in data:
-            valid_wh = jnp.asarray(data["valid_wh"], jnp.int32)
+            valid_wh = jnp.asarray(data["valid_wh"], jnp.float32)
+            valid_wh = jnp.stack(
+                [valid_wh[:, 0] * (wp / w), valid_wh[:, 1] * (hp / h)],
+                -1).astype(jnp.int32)
         else:
-            valid_wh = jnp.tile(jnp.asarray([[w, h]], jnp.int32), (b, 1))
-        return apply(
+            valid_wh = jnp.tile(jnp.asarray([[wp, hp]], jnp.int32), (b, 1))
+        out = apply(
             self.params, image, valid_wh,
             max_keypoints=self.conf["max_keypoints"],
             detection_threshold=float(self.conf["keypoint_threshold"]),
         )
+        if (hp, wp) != (h, w):
+            out = dict(out)
+            out["keypoints"] = out["keypoints"] * jnp.asarray(
+                [w / wp, h / hp], jnp.float32)
+        return out

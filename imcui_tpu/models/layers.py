@@ -149,6 +149,17 @@ def max_pool(x, window=2, stride=2):
     )
 
 
+def max_pool3_s2(x):
+    """torchvision stem max-pool: 3×3 window, stride 2, padding 1 —
+    NOT equivalent to 2×2/s2 (same output shape on even inputs, different
+    values at odd positions; checkpoint-fidelity class of bug pinned by
+    tests/test_torch_parity2.py)."""
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
 def relu(x):
     return jnp.maximum(x, 0)
 

@@ -44,6 +44,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ...ops import sampling
 from ...utils.base_model import BaseModel
 from ...utils.weights import (download_checkpoint, load_params_auto,
                               load_state_dict)
@@ -60,11 +61,13 @@ from . import loftr as loftr_mod
 
 # per-scale refiner config: projected feat dim, displacement-embedding
 # dim, local-corr radius, hidden width, hidden depth, depthwise?
+# (upstream roma_models.py conv_refiner dict; hidden = in_dim for every
+# scale, e.g. "2": ConvRefiner(2·64+16, 128+16, …))
 REFINERS = {
     "16": dict(feat=512, disp=128, r=7, blocks=8, dw=True),
     "8": dict(feat=512, disp=64, r=3, blocks=8, dw=True),
     "4": dict(feat=256, disp=32, r=2, blocks=8, dw=True),
-    "2": dict(feat=64, disp=16, r=0, blocks=5, dw=False),
+    "2": dict(feat=64, disp=16, r=0, blocks=8, dw=True),
     "1": dict(feat=9, disp=6, r=0, blocks=5, dw=False),
 }
 # per-scale 1×1 projection (cin, cout) from the encoder features
@@ -72,9 +75,12 @@ PROJ = {"16": (1024, 512), "8": (512, 512), "4": (256, 256),
         "2": (128, 64), "1": (64, 9)}
 
 GP_DIM = 512
+KERNEL_T = 0.2          # upstream kernel_temperature
+GP_SIGMA_NOISE = 0.1    # upstream GP sigma_noise
 DECODER_DEPTH = 5
 DECODER_HEADS = 8
 ANCHOR_RES = 64
+DISP_EMB_SCALE = 40.0 / 32.0  # upstream ConvRefiner disp_emb input scale
 
 
 def _refiner_in_dim(cfg):
@@ -91,22 +97,29 @@ def init_bn(dim):
             "mean": jnp.zeros((dim,)), "var": jnp.ones((dim,))}
 
 
+def _init_refiner_block(key, cin, cout, dw):
+    """Upstream ConvRefiner.create_block: Sequential(5×5 grouped conv,
+    BatchNorm, ReLU, 1×1 conv) — torch indices 0/1/(2)/3. Depthwise means
+    groups = cin on the 5×5 (kernel cin/groups = 1)."""
+    k1, k2 = jax.random.split(key)
+    return {"0": init_conv(k1, 5, 5, 1 if dw else cin, cout),
+            "1": init_bn(cout),
+            "3": init_conv(k2, 1, 1, cout, cout)}
+
+
 def init_refiner(key, cfg):
     in_dim = _refiner_in_dim(cfg)
     hidden = in_dim
     keys = jax.random.split(key, cfg["blocks"] + 3)
     p = {
         "disp_emb": init_conv(keys[0], 1, 1, 2, cfg["disp"]),
-        "block1": {"0": init_conv(keys[1], 5, 5, in_dim, hidden),
-                   "1": init_bn(hidden)},
-        "hidden_blocks": [],
+        "block1": _init_refiner_block(keys[1], in_dim, hidden, cfg["dw"]),
+        "hidden_blocks": [
+            _init_refiner_block(keys[3 + i], hidden, hidden, cfg["dw"])
+            for i in range(cfg["blocks"])
+        ],
         "out_conv": init_conv(keys[2], 1, 1, hidden, 3),
     }
-    for i in range(cfg["blocks"]):
-        cin = 1 if cfg["dw"] else hidden  # depthwise: cin/groups = 1
-        p["hidden_blocks"].append(
-            {"0": init_conv(keys[3 + i], 5, 5, cin, hidden),
-             "1": init_bn(hidden)})
     return p
 
 
@@ -125,13 +138,16 @@ def init_params(rng, conf=None):
                 "1": init_bn(cout)}
             for s, (cin, cout) in PROJ.items()
         },
-        "gp": {"pos_B": jax.random.normal(next(keys), (2, gp_dim // 2))},
+        # upstream GP module: gps.16.pos_conv — a 1×1 conv embedding the
+        # coordinate grid; basis "fourier" = cos(8π · pos_conv(coords))
+        "gps": {"16": {"pos_conv": init_conv(next(keys), 1, 1, 2,
+                                             gp_dim)}},
         "embedding_decoder": {
             "blocks": [vit_mod.init_encoder_block(next(keys), dec_dim)
                        for _ in range(conf.get("decoder_depth",
                                                DECODER_DEPTH))],
-            "norm": init_layer_norm(dec_dim),
-            "head": init_linear(next(keys), dec_dim, ANCHOR_RES ** 2 + 1),
+            "to_out": init_linear(next(keys), dec_dim,
+                                  ANCHOR_RES ** 2 + 1),
         },
         "conv_refiner": {s: init_refiner(next(keys), cfg)
                          for s, cfg in REFINERS.items()},
@@ -158,35 +174,56 @@ def coord_grid(h, w):
     return jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)
 
 
-def fourier_embed(coords, B):
-    """coords (N, 2) @ B (2, D/2) → (N, D) sin/cos features."""
-    proj = coords @ B * jnp.pi
-    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], -1)
+def fourier_embed(coords, pos_conv):
+    """Upstream GP "fourier" basis: cos(8π · pos_conv(coords)).
+    coords (N, 2); pos_conv a 1×1 conv {w (1,1,2,D), b (D,)} → (N, D)."""
+    proj = coords @ pos_conv["w"][0, 0] + pos_conv["b"]
+    return jnp.cos(8.0 * jnp.pi * proj)
 
 
-def gp_posterior(f0, f1, emb1, temperature=0.1, sigma2=1e-3):
-    """Exponential-cosine-kernel GP posterior mean.
+def cos_kernel(x, y, temperature=KERNEL_T, eps=1e-6):
+    """Upstream CosKernel: exp((cosine_sim − 1) / T)."""
+    num = jnp.einsum("nd,md->nm", x, y,
+                     preferred_element_type=jnp.float32)
+    den = (jnp.linalg.norm(x, axis=-1)[:, None]
+           * jnp.linalg.norm(y, axis=-1)[None, :] + eps)
+    return jnp.exp((num / den - 1.0) / temperature)
+
+
+def gp_posterior(f0, f1, emb1, temperature=KERNEL_T,
+                 sigma_noise=GP_SIGMA_NOISE):
+    """Cosine-kernel GP posterior mean (upstream GP, no_cov=True).
 
     f0: (N0, D) query tokens, f1: (N1, D) support tokens, emb1: (N1, E)
-    regression targets (Fourier-embedded coords of image1). Returns
-    (N0, E) = K01 (K11 + σ²I)⁻¹ emb1.
+    regression targets (embedded coords of image1). Returns
+    (N0, E) = K01 (K11 + σ_noise·I)⁻¹ emb1.
     """
-    a = f0 / jnp.maximum(jnp.linalg.norm(f0, axis=-1, keepdims=True), 1e-8)
-    b = f1 / jnp.maximum(jnp.linalg.norm(f1, axis=-1, keepdims=True), 1e-8)
-    k01 = jnp.exp((a @ b.T - 1.0) / temperature)
-    k11 = jnp.exp((b @ b.T - 1.0) / temperature)
+    k01 = cos_kernel(f0, f1, temperature)
+    k11 = cos_kernel(f1, f1, temperature)
     n1 = k11.shape[0]
     rhs = jax.scipy.linalg.solve(
-        k11 + sigma2 * jnp.eye(n1, dtype=k11.dtype), emb1, assume_a="pos")
+        k11 + sigma_noise * jnp.eye(n1, dtype=k11.dtype), emb1,
+        assume_a="pos")
     return k01 @ rhs
 
 
-def anchor_warp(logits):
-    """Regression-by-classification: softmax over a 64×64 anchor grid →
-    expected coordinate. logits: (N, A²) → (N, 2) in [-1, 1]."""
+def cls_to_flow_refine(logits):
+    """Upstream ``cls_to_flow_refine``: regression-by-classification with
+    LOCAL expectation — softmax over the 64×64 anchor grid, take the mode
+    and its 4 neighbours {±1, ±res}, renormalise, expected coordinate.
+    (A global expectation is biased on multimodal distributions — the
+    published inference path uses this mode-local version.)
+    logits: (N, A²) → (N, 2) in [-1, 1]."""
     anchors = coord_grid(ANCHOR_RES, ANCHOR_RES)  # (A², 2)
     probs = jax.nn.softmax(logits, -1)
-    return probs @ anchors
+    mode = jnp.argmax(probs, -1)
+    idx = jnp.stack([mode - 1, mode, mode + 1,
+                     mode - ANCHOR_RES, mode + ANCHOR_RES], -1)
+    idx = jnp.clip(idx, 0, ANCHOR_RES ** 2 - 1)          # (N, 5)
+    w = jnp.take_along_axis(probs, idx, axis=-1)         # (N, 5)
+    pts = anchors[idx]                                   # (N, 5, 2)
+    return (w[..., None] * pts).sum(1) / jnp.maximum(
+        w.sum(-1, keepdims=True), 1e-12)
 
 
 # ---------------------------------------------------------------------------
@@ -194,20 +231,11 @@ def anchor_warp(logits):
 # ---------------------------------------------------------------------------
 
 def bilinear_warp(feat, warp):
-    """Sample feat (Hc, Wc, D) at normalised warp coords (..., 2)."""
-    hc, wc, d = feat.shape
-    gx = (warp[..., 0] + 1) * 0.5 * (wc - 1)
-    gy = (warp[..., 1] + 1) * 0.5 * (hc - 1)
-    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, wc - 1)
-    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, hc - 1)
-    x1 = jnp.clip(x0 + 1, 0, wc - 1)
-    y1 = jnp.clip(y0 + 1, 0, hc - 1)
-    wx = jnp.clip(gx - x0, 0, 1)[..., None]
-    wy = jnp.clip(gy - y0, 0, 1)[..., None]
-    return (feat[y0, x0] * (1 - wx) * (1 - wy)
-            + feat[y0, x1] * wx * (1 - wy)
-            + feat[y1, x0] * (1 - wx) * wy
-            + feat[y1, x1] * wx * wy)
+    """Sample feat (Hc, Wc, D) at normalised warp coords (..., 2) —
+    torch grid_sample semantics (align_corners=False, zeros padding),
+    matching upstream ConvRefiner.forward's x_hat/local_correlation."""
+    return sampling.grid_sample(feat, warp, mode="bilinear",
+                                align_corners=False)
 
 
 def local_correlation(f0, f1, warp, r):
@@ -227,26 +255,38 @@ def local_correlation(f0, f1, warp, r):
     return corr.transpose(1, 2, 0)      # (h, w, K)
 
 
-def refiner_apply(p, cfg, f0, f1, warp, cert):
+def _refiner_block(blk, x, dw):
+    """Upstream create_block: 5×5 grouped conv → BN → ReLU → 1×1 conv."""
+    groups = x.shape[-1] if dw else 1
+    y = relu(batch_norm_inference(blk["1"],
+                                  conv2d(blk["0"], x, groups=groups)))
+    return conv2d(blk["3"], y)
+
+
+def refiner_apply(p, cfg, f0, f1, warp, cert,
+                  disp_scale=DISP_EMB_SCALE):
     """One ConvRefiner step at this scale's grid. f0/f1: (h, w, feat);
-    warp: (h, w, 2) normalised; cert: (h, w) logits."""
+    warp: (h, w, 2) normalised; cert: (h, w) logits.
+
+    Upstream semantics: the displacement embedding consumes the RELATIVE
+    displacement (flow − identity grid), scaled by 40/32 in RoMa (1.0 in
+    DKM); the predicted delta is divided by the grid size to return to
+    normalised units (constant flagged for first real-weight contact —
+    any fixed factor is absorbed by the trained out_conv)."""
     h, w, _ = f0.shape
     warped = bilinear_warp(f1, warp)
+    disp = warp - coord_grid(h, w).reshape(h, w, 2)
     ins = [f0, warped,
-           conv2d(p["disp_emb"], warp[None])[0]]
+           conv2d(p["disp_emb"], (disp_scale * disp)[None])[0]]
     if cfg["r"]:
         ins.append(local_correlation(f0, f1, warp, cfg["r"]))
     x = jnp.concatenate(ins, -1)[None]
-    x = relu(batch_norm_inference(p["block1"]["1"],
-                                  conv2d(p["block1"]["0"], x)))
-    hidden = x.shape[-1]
+    x = _refiner_block(p["block1"], x, cfg["dw"])
     for blk in p["hidden_blocks"]:
-        groups = hidden if cfg["dw"] else 1
-        x = relu(batch_norm_inference(blk["1"],
-                                      conv2d(blk["0"], x, groups=groups)))
+        x = _refiner_block(blk, x, cfg["dw"])
     out = conv2d(p["out_conv"], x)[0]
-    # displacement predicted in grid pixels → normalised units
-    dwarp = out[..., :2] * jnp.asarray([2.0 / w, 2.0 / h])
+    # upstream Decoder.forward: flow += ins·Δ/(4·W_full) = Δ/(4·w_grid)
+    dwarp = out[..., :2] * jnp.asarray([0.25 / w, 0.25 / h])
     return warp + dwarp, cert + out[..., 2]
 
 
@@ -278,16 +318,20 @@ def match_gp(params, image0, image1, conf):
     f0_16 = proj("16", d0.reshape(hp, wp, -1))
     f1_16 = proj("16", d1.reshape(hp, wp, -1))
 
-    # GP coarse regression + transformer match decoder
-    emb1 = fourier_embed(coord_grid(hp, wp), params["gp"]["pos_B"])
+    # GP coarse regression + transformer match decoder. Upstream token
+    # layout: cat((gp_posterior, features)) — GP channels FIRST
+    # (roma TransformerDecoder.forward), then 5 pre-norm ViT blocks and a
+    # plain to_out Linear (no final norm).
+    emb1 = fourier_embed(coord_grid(hp, wp),
+                         params["gps"]["16"]["pos_conv"])
     gp_out = gp_posterior(f0_16.reshape(hp * wp, -1),
                           f1_16.reshape(hp * wp, -1), emb1)
-    tokens = jnp.concatenate([f0_16.reshape(hp * wp, -1), gp_out], -1)
+    tokens = jnp.concatenate([gp_out, f0_16.reshape(hp * wp, -1)], -1)
     dec = params["embedding_decoder"]
     for blk in dec["blocks"]:
         tokens = vit_mod.encoder_block_apply(blk, tokens, DECODER_HEADS)
-    out = linear(dec["head"], layer_norm(dec["norm"], tokens))
-    warp = anchor_warp(out[:, :-1]).reshape(hp, wp, 2)
+    out = linear(dec["to_out"], tokens)
+    warp = cls_to_flow_refine(out[:, :-1]).reshape(hp, wp, 2)
     cert = out[:, -1].reshape(hp, wp)
 
     # coarse-scale refiner on the DINOv2-projected features

@@ -40,7 +40,7 @@ def test_match_gp_identity_pair_warp(params):
     d, (hp, wp) = dinov2.apply(params["dinov2"], img, "test")
     f = d.reshape(hp, wp, -1)
     emb1 = roma_mod.fourier_embed(roma_mod.coord_grid(hp, wp),
-                                  params["gp"]["pos_B"])
+                                  params["gps"]["16"]["pos_conv"])
     post = roma_mod.gp_posterior(f.reshape(hp * wp, -1),
                                  f.reshape(hp * wp, -1), emb1)
     # identical support/query → posterior ≈ the targets themselves
