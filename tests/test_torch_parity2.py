@@ -289,3 +289,794 @@ def test_xfeat_detect_selection_parity():
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(desc), feats_t.numpy(),
                                atol=5e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DISK: thin U-Net (conv5×5 → instance norm → PReLU per stage, avg-pool
+# downsampling, half-pixel bilinear upsampling). The published unets
+# ordering (pre- vs post-activation) is flagged in extractors/disk.py —
+# this fixture pins the torch semantics of the ordering we run; a real
+# checkpoint with the other ordering raises in the order-based converter.
+# ---------------------------------------------------------------------------
+
+
+def torch_disk_unet(params, img):
+    import torch.nn.functional as F
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a))
+
+    x = torch.from_numpy(img).permute(2, 0, 1)[None]
+    skips = []
+    for i, stage in enumerate(params["down"]):
+        if i > 0:
+            skips.append(x)
+            x = F.avg_pool2d(x, 2, 2)
+        w = t(stage["conv"]["w"]).permute(3, 2, 0, 1)
+        x = F.conv2d(x, w, t(stage["conv"]["b"]), padding=2)
+        x = F.instance_norm(x)
+        x = F.prelu(x, t(stage["gate"]["alpha"]))
+    for i, stage in enumerate(params["up"]):
+        x = F.interpolate(x, scale_factor=2.0, mode="bilinear",
+                          align_corners=False)
+        x = torch.cat([x, skips[-1 - i]], 1)
+        w = t(stage["conv"]["w"]).permute(3, 2, 0, 1)
+        x = F.conv2d(x, w, t(stage["conv"]["b"]), padding=2)
+        if stage["gate"] is not None:
+            x = F.prelu(F.instance_norm(x), t(stage["gate"]["alpha"]))
+    return x[0].permute(1, 2, 0).numpy()
+
+
+def test_disk_unet_parity():
+    from imcui_tpu.models.extractors import disk
+
+    params = disk.init_params(jax.random.PRNGKey(11))
+    img = np.random.default_rng(12).uniform(
+        size=(32, 48, 3)).astype(np.float32)
+    want = torch_disk_unet(params, img)
+    got = np.asarray(disk.unet_apply(params, jnp.asarray(img)[None]))[0]
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ALIKED: conv backbone + SDDH (deformable descriptor head). Our SDDH is
+# the published *mechanism* (patch → offsets → bilinear samples → learned
+# aggregation) on a fixed-k masked layout; this fixture pins its torch
+# semantics (tanh offset range, bilinear sampling, projection order).
+# ---------------------------------------------------------------------------
+
+
+def test_aliked_backbone_and_sddh_parity():
+    import torch.nn.functional as F
+    from imcui_tpu.models.extractors import aliked
+
+    sizes = aliked.SIZES["aliked-t16"]
+    params = aliked.init_params(jax.random.PRNGKey(13), **sizes)
+    img = np.random.default_rng(14).uniform(
+        size=(32, 48, 3)).astype(np.float32)
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a))
+
+    def tconv(p, x, k):
+        return F.conv2d(x, t(p["w"]).permute(3, 2, 0, 1), t(p["b"]),
+                        padding=k // 2)
+
+    def tblock(p, x):
+        return F.relu(tconv(p["conv2"], F.relu(tconv(p["conv1"], x, 3)),
+                            3))
+
+    x = torch.from_numpy(img).permute(2, 0, 1)[None]
+    x1 = tblock(params["block1"], x)
+    x2 = tblock(params["block2"], F.max_pool2d(x1, 2, 2))
+    x3 = tblock(params["block3"], F.max_pool2d(x2, 2, 2))
+    x4 = tblock(params["block4"], F.max_pool2d(x3, 2, 2))
+
+    def up(v, f):
+        return F.interpolate(v, scale_factor=float(f), mode="bilinear",
+                             align_corners=False)
+
+    feats_t = torch.cat([
+        F.relu(tconv(params["conv1"], x1, 1)),
+        up(F.relu(tconv(params["conv2"], x2, 1)), 2),
+        up(F.relu(tconv(params["conv3"], x3, 1)), 4),
+        up(F.relu(tconv(params["conv4"], x4, 1)), 8)], 1)
+    score_t = torch.sigmoid(tconv(params["score_head"], feats_t, 1))
+
+    feats_j, score_j = aliked.backbone(params, jnp.asarray(img)[None])
+    np.testing.assert_allclose(
+        np.asarray(feats_j)[0], feats_t[0].permute(1, 2, 0).numpy(),
+        atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(score_j)[0], score_t[0, 0].numpy(), atol=2e-5)
+
+    # SDDH on a handful of keypoints
+    kpts = np.asarray([[10.0, 12.0], [30.0, 7.0], [20.0, 20.0]],
+                      np.float32)
+    fmap = feats_t[0].permute(1, 2, 0).numpy()
+    got = np.asarray(aliked.sddh(params, jnp.asarray(fmap),
+                                 jnp.asarray(kpts), sizes["M"]))
+
+    # torch restatement of our SDDH contract
+    P = aliked.PATCH
+    r = P // 2
+    h, w, dim = fmap.shape
+    fm = torch.from_numpy(fmap)
+    patches = []
+    for kx, ky in kpts:
+        ix = np.clip(np.arange(int(kx) - r, int(kx) + r + 1), 0, w - 1)
+        iy = np.clip(np.arange(int(ky) - r, int(ky) + r + 1), 0, h - 1)
+        patches.append(fm[torch.from_numpy(iy)][:, torch.from_numpy(ix)]
+                       .reshape(-1))
+    patches = torch.stack(patches)
+    offs = torch.tanh(patches @ t(params["offset_head"]["w"])
+                      + t(params["offset_head"]["b"]))
+    offs = offs.reshape(-1, sizes["M"], 2) * (2 * r)
+    sample_xy = torch.from_numpy(kpts)[:, None] + offs
+    gx = sample_xy[..., 0].clamp(0, w - 1.001)
+    gy = sample_xy[..., 1].clamp(0, h - 1.001)
+    x0, y0 = gx.floor().long(), gy.floor().long()
+    wx = (gx - x0)[..., None]
+    wy = (gy - y0)[..., None]
+    samples = (fm[y0, x0] * (1 - wx) * (1 - wy)
+               + fm[y0, x0 + 1] * wx * (1 - wy)
+               + fm[y0 + 1, x0] * (1 - wx) * wy
+               + fm[y0 + 1, x0 + 1] * wx * wy)
+    samples = F.relu(samples @ t(params["sample_proj"]["w"])
+                     + t(params["sample_proj"]["b"]))
+    desc = samples.reshape(len(kpts), -1) @ t(params["agg"]["w"]) \
+        + t(params["agg"]["b"])
+    desc = F.normalize(desc, p=2, dim=-1).numpy()
+    np.testing.assert_allclose(got, desc, atol=5e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# EfficientLoFTR: fused RepVGG stage (single 3×3 conv + ReLU per block,
+# stride-2 first) + the 2×2 aggregated-attention wrapper around the LoFTR
+# encoder layer.
+# ---------------------------------------------------------------------------
+
+
+def test_eloftr_stage_and_agg_attention_parity():
+    import torch.nn.functional as F
+    from imcui_tpu.models.matchers import eloftr
+    from test_torch_parity import torch_loftr_encoder_layer
+
+    params = eloftr.init_params(jax.random.PRNGKey(15),
+                                n_coarse_layers=1, n_fine_layers=1)
+    img = np.random.default_rng(16).uniform(
+        size=(64, 96)).astype(np.float32)
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a))
+
+    # RepVGG stages (inference-fused): conv3×3 (torch symmetric padding,
+    # stride 2 on the first block) + ReLU
+    x = torch.from_numpy(img)[None, None]
+    for name, stride in (("stage1", 2), ("stage2", 2), ("stage3", 2)):
+        for i, blk in enumerate(params["backbone"][name]):
+            x = F.relu(F.conv2d(x, t(blk["w"]).permute(3, 2, 0, 1),
+                                t(blk["b"]), stride=stride if i == 0
+                                else 1, padding=1))
+    coarse_t = x[0].permute(1, 2, 0).numpy()
+    coarse_j, _ = eloftr.backbone_apply(
+        params["backbone"], jnp.asarray(img)[None, :, :, None])
+    np.testing.assert_allclose(np.asarray(coarse_j)[0], coarse_t,
+                               atol=5e-4, rtol=1e-3)
+
+    # aggregated attention: mean-pool 2×2 → encoder layer → broadcast
+    hc, wc, d = 8, 12, eloftr.D_COARSE
+    rng = np.random.default_rng(17)
+    tok = rng.normal(size=(hc * wc, d)).astype(np.float32)
+    layer = params["loftr_coarse"]["layers"][0]
+    sd = tree_to_state_dict({"loftr_coarse": {"layers": [layer]}})
+
+    xt = torch.from_numpy(tok.reshape(hc, wc, d))
+    xa = xt.reshape(hc // 2, 2, wc // 2, 2, d).mean((1, 3)).reshape(-1, d)
+    out = torch_loftr_encoder_layer(sd, "loftr_coarse.layers.0", xa, xa)
+    delta = (out - xa).reshape(hc // 2, wc // 2, d)
+    delta = delta.repeat_interleave(2, 0).repeat_interleave(2, 1)
+    want = (xt + delta).reshape(-1, d).numpy()
+
+    got = np.asarray(eloftr.aggregated_attention(
+        layer, jnp.asarray(tok), jnp.asarray(tok), (hc, wc), (hc, wc)))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# RoMa: GP module (fourier basis = cos(8π·pos_conv), CosKernel
+# exp((cos−1)/0.2), σ_noise=0.1 solve), cls_to_flow_refine (mode-local
+# expectation) and a full ConvRefiner step — the upstream forwards
+# restated from Parskatt/RoMa + DKM (shared ConvRefiner/Decoder design).
+# ---------------------------------------------------------------------------
+
+
+def _torch_coord_grid(h, w):
+    gy, gx = torch.meshgrid(
+        torch.linspace(-1 + 1 / h, 1 - 1 / h, h),
+        torch.linspace(-1 + 1 / w, 1 - 1 / w, w), indexing="ij")
+    return torch.stack([gx, gy], -1)  # (h, w, 2) xy
+
+
+def test_roma_gp_parity():
+    from imcui_tpu.models.matchers import roma as roma_mod
+
+    rng = np.random.default_rng(18)
+    hp = wp = 6
+    dim, gp_dim = 32, 64
+    f0 = rng.normal(size=(hp * wp, dim)).astype(np.float32)
+    f1 = rng.normal(size=(hp * wp, dim)).astype(np.float32)
+    pos_conv = {"w": jnp.asarray(rng.normal(size=(1, 1, 2, gp_dim))
+                                 .astype(np.float32)),
+                "b": jnp.asarray(rng.normal(size=(gp_dim,))
+                                 .astype(np.float32))}
+
+    # torch restatement (upstream GP.forward with no_cov=True)
+    coords = _torch_coord_grid(hp, wp).reshape(-1, 2)
+    w = torch.from_numpy(np.asarray(pos_conv["w"]))[0, 0]
+    b = torch.from_numpy(np.asarray(pos_conv["b"]))
+    emb = torch.cos(8 * np.pi * (coords @ w + b))
+    x, y = torch.from_numpy(f0), torch.from_numpy(f1)
+
+    def K(a_, b_):
+        c = torch.einsum("nd,md->nm", a_, b_) / (
+            a_.norm(dim=-1)[:, None] * b_.norm(dim=-1)[None] + 1e-6)
+        return ((c - 1.0) / 0.2).exp()
+
+    want = K(x, y) @ torch.linalg.solve(
+        K(y, y) + 0.1 * torch.eye(hp * wp), emb)
+
+    emb_j = roma_mod.fourier_embed(roma_mod.coord_grid(hp, wp), pos_conv)
+    np.testing.assert_allclose(np.asarray(emb_j), emb.numpy(),
+                               atol=2e-5, rtol=1e-4)
+    got = roma_mod.gp_posterior(jnp.asarray(f0), jnp.asarray(f1), emb_j)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_roma_cls_to_flow_refine_parity():
+    from imcui_tpu.models.matchers import roma as roma_mod
+
+    res = roma_mod.ANCHOR_RES
+    rng = np.random.default_rng(19)
+    logits = rng.normal(size=(20, res * res)).astype(np.float32) * 2
+
+    # torch restatement (upstream cls_to_flow_refine)
+    cls = torch.from_numpy(logits).softmax(-1)
+    G = torch.meshgrid(
+        torch.linspace(-1 + 1 / res, 1 - 1 / res, res),
+        torch.linspace(-1 + 1 / res, 1 - 1 / res, res), indexing="ij")
+    G = torch.stack([G[1], G[0]], -1).reshape(res * res, 2)
+    mode = cls.max(dim=-1).indices
+    idx = torch.stack([mode - 1, mode, mode + 1, mode - res, mode + res],
+                      -1).clamp(0, res * res - 1)
+    nb = torch.gather(cls, -1, idx)
+    want = (nb[..., None] * G[idx]).sum(1) / nb.sum(-1, keepdim=True)
+
+    got = roma_mod.cls_to_flow_refine(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_roma_conv_refiner_parity():
+    """Full ConvRefiner step at a corr-bearing scale (r=2) vs the
+    upstream forward: grid_sample(align_corners=False) warp + local
+    correlation, scaled relative-displacement embedding, dw 5×5 + BN +
+    ReLU + 1×1 blocks, Δ/(4·size) flow update."""
+    import torch.nn.functional as F
+    from imcui_tpu.models.matchers import roma as roma_mod
+
+    cfg = dict(feat=16, disp=8, r=2, blocks=2, dw=True)
+    params = roma_mod.init_refiner(jax.random.PRNGKey(20), cfg)
+    # jitter BN stats so they are actually exercised
+    rng = np.random.default_rng(21)
+
+    def jitter(p):
+        if isinstance(p, dict) and {"mean", "var"} <= set(p):
+            c = p["mean"].shape[0]
+            p["mean"] = jnp.asarray(rng.normal(size=c).astype(np.float32)
+                                    * 0.1)
+            p["var"] = jnp.asarray(
+                rng.uniform(0.5, 2.0, c).astype(np.float32))
+        elif isinstance(p, dict):
+            for v in p.values():
+                jitter(v)
+        elif isinstance(p, list):
+            for v in p:
+                jitter(v)
+    jitter(params)
+
+    h, w = 10, 14
+    f0 = rng.normal(size=(h, w, cfg["feat"])).astype(np.float32)
+    f1 = rng.normal(size=(h, w, cfg["feat"])).astype(np.float32)
+    warp = (rng.uniform(-0.9, 0.9, size=(h, w, 2))).astype(np.float32)
+    cert = rng.normal(size=(h, w)).astype(np.float32)
+
+    got_w, got_c = roma_mod.refiner_apply(
+        params, cfg, jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(warp),
+        jnp.asarray(cert))
+
+    # ---- torch restatement ----
+    def t(a):
+        return torch.from_numpy(np.asarray(a))
+
+    x = t(f0).permute(2, 0, 1)[None]
+    y = t(f1).permute(2, 0, 1)[None]
+    flow = t(warp)[None]
+    x_hat = F.grid_sample(y, flow, align_corners=False, mode="bilinear")
+    coords = _torch_coord_grid(h, w)[None]
+    disp = flow - coords
+    demb = F.conv2d((40 / 32) * disp.permute(0, 3, 1, 2),
+                    t(params["disp_emb"]["w"]).permute(3, 2, 0, 1),
+                    t(params["disp_emb"]["b"]))
+    # local correlation (upstream local_correlation with flow)
+    r = cfg["r"]
+    oy, ox = torch.meshgrid(
+        torch.linspace(-2 * r / h, 2 * r / h, 2 * r + 1),
+        torch.linspace(-2 * r / w, 2 * r / w, 2 * r + 1), indexing="ij")
+    local_window = torch.stack((ox, oy), dim=-1).reshape(1, (2*r+1)**2, 2)
+    cgrid = (flow[:, :, :, None] + local_window[:, None, None]).reshape(
+        1, h, w * (2 * r + 1) ** 2, 2)
+    window_feat = F.grid_sample(y, cgrid, padding_mode="zeros",
+                                mode="bilinear", align_corners=False)
+    window_feat = window_feat.reshape(1, cfg["feat"], h, w,
+                                      (2 * r + 1) ** 2)
+    corr = torch.einsum("bchw,bchwk->bkhw", x, window_feat) / \
+        (cfg["feat"] ** 0.5)
+
+    d = torch.cat((x, x_hat, demb, corr), dim=1)
+
+    def block(p, v, groups):
+        v = F.conv2d(v, t(p["0"]["w"]).permute(3, 2, 0, 1), t(p["0"]["b"]),
+                     padding=2, groups=groups)
+        v = F.batch_norm(v, t(p["1"]["mean"]), t(p["1"]["var"]),
+                         t(p["1"]["scale"]), t(p["1"]["bias"]),
+                         training=False)
+        v = F.relu(v)
+        return F.conv2d(v, t(p["3"]["w"]).permute(3, 2, 0, 1),
+                        t(p["3"]["b"]))
+
+    g = d.shape[1]
+    d = block(params["block1"], d, g)
+    for blk in params["hidden_blocks"]:
+        d = block(blk, d, d.shape[1])
+    d = F.conv2d(d, t(params["out_conv"]["w"]).permute(3, 2, 0, 1),
+                 t(params["out_conv"]["b"]))
+    delta, dcert = d[:, :2], d[:, 2]
+    want_w = flow + torch.stack(
+        (delta[:, 0] / (4 * w), delta[:, 1] / (4 * h)),
+        dim=-1)
+    want_c = t(cert) + dcert[0]
+
+    np.testing.assert_allclose(np.asarray(got_w), want_w[0].numpy(),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# DKMv3 components: torchvision ResNet50 stem/bottleneck (pins the
+# 3×3/s2/p1 stem max-pool), RRB / CAB / DFN embedding decoder.
+# ---------------------------------------------------------------------------
+
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a))
+
+
+def _tconv(p, x, stride=1, pad=None, groups=1):
+    import torch.nn.functional as F
+    w = _t(p["w"]).permute(3, 2, 0, 1)
+    if pad is None:
+        pad = w.shape[-1] // 2
+    return F.conv2d(x, w, _t(p["b"]) if "b" in p else None,
+                    stride=stride, padding=pad, groups=groups)
+
+
+def _tbn(p, x):
+    import torch.nn.functional as F
+    return F.batch_norm(
+        x, _t(p["mean"]), _t(p["var"]),
+        _t(p["scale"]) if "scale" in p else None,
+        _t(p["bias"]) if "bias" in p else None, training=False)
+
+
+def test_resnet50_stem_and_bottleneck_parity():
+    import torch.nn.functional as F
+    from imcui_tpu.models.backbones import resnet
+
+    params = resnet.init_resnet(jax.random.PRNGKey(23), "resnet50")
+    rng = np.random.default_rng(24)
+
+    def jitter(p):
+        if isinstance(p, dict) and {"mean", "var"} <= set(p):
+            c = p["mean"].shape[0]
+            p["mean"] = jnp.asarray(rng.normal(size=c).astype(np.float32)
+                                    * 0.1)
+            p["var"] = jnp.asarray(
+                rng.uniform(0.5, 2.0, c).astype(np.float32))
+        elif isinstance(p, dict):
+            for v in p.values():
+                jitter(v)
+    jitter(params)
+
+    # ODD input size: this is where 2×2/s2 and 3×3/s2/p1 pooling diverge
+    img = rng.uniform(size=(33, 47, 3)).astype(np.float32)
+
+    x = torch.from_numpy(img).permute(2, 0, 1)[None]
+    x = F.relu(_tbn(params["bn1"], _tconv(params["conv1"], x, stride=2)))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+
+    def bottleneck(p, x, stride):
+        y = F.relu(_tbn(p["bn1"], _tconv(p["conv1"], x, pad=0)))
+        y = F.relu(_tbn(p["bn2"], _tconv(p["conv2"], y, stride=stride)))
+        y = _tbn(p["bn3"], _tconv(p["conv3"], y, pad=0))
+        if "downsample" in p:
+            x = _tbn(p["downsample"]["1"],
+                     _tconv(p["downsample"]["0"], x, stride=stride,
+                            pad=0))
+        return F.relu(x + y)
+
+    for li, n in enumerate(resnet.BOTTLENECK_BLOCKS["resnet50"], start=1):
+        for bi in range(n):
+            x = bottleneck(params[f"layer{li}"][str(bi)], x,
+                           2 if (bi == 0 and li > 1) else 1)
+    want = x[0].permute(1, 2, 0).numpy()
+
+    feats = resnet.resnet_pyramid_apply(params, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(feats[32]), want,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_dkm_dfn_parity():
+    """RRB / CAB / DFN scale step vs the upstream DKM forward."""
+    import torch.nn.functional as F
+    from imcui_tpu.models.matchers import dkm
+
+    rng = np.random.default_rng(25)
+    params = dkm.init_params(jax.random.PRNGKey(26))
+    dec = params["embedding_decoder"]
+
+    def jitter(p):
+        if isinstance(p, dict) and {"mean", "var"} <= set(p):
+            c = p["mean"].shape[0]
+            p["mean"] = jnp.asarray(rng.normal(size=c).astype(np.float32)
+                                    * 0.1)
+            p["var"] = jnp.asarray(
+                rng.uniform(0.5, 2.0, c).astype(np.float32))
+        elif isinstance(p, dict):
+            for v in p.values():
+                jitter(v)
+    jitter(dec)
+
+    h = w = 5
+    gp_out = rng.normal(size=(h, w, dkm.GP_DIM)).astype(np.float32)
+    feats = rng.normal(size=(h, w, 512)).astype(np.float32)
+    ctx = rng.normal(size=(h, w, dkm.DFN_DIM)).astype(np.float32)
+
+    flow_j, cert_j, ctx_j = dkm._dfn_apply(
+        dec, "32", jnp.asarray(gp_out)[None], jnp.asarray(feats)[None],
+        jnp.asarray(ctx)[None])
+
+    # torch restatement (upstream DFN.forward)
+    f = _tconv(dec["feat_input_modules"]["32"],
+               torch.from_numpy(feats).permute(2, 0, 1)[None], pad=0)
+    emb = torch.cat(
+        [f, torch.from_numpy(gp_out).permute(2, 0, 1)[None]], 1)
+
+    def rrb(p, x):
+        x = _tconv(p["conv1"], x, pad=0)
+        res = _tconv(p["conv2"], x)
+        res = F.relu(_tbn(p["bn"], res))
+        res = _tconv(p["conv3"], res)
+        return F.relu(x + res)
+
+    emb = rrb(dec["rrb_d"]["32"], emb)
+    cat = torch.cat([torch.from_numpy(ctx).permute(2, 0, 1)[None], emb],
+                    1)
+    g = cat.mean((2, 3), keepdim=True)
+    g = torch.sigmoid(_tconv(dec["cab"]["32"]["conv2"],
+                             F.relu(_tconv(dec["cab"]["32"]["conv1"], g,
+                                           pad=0)), pad=0))
+    context = g * emb + torch.from_numpy(ctx).permute(2, 0, 1)[None]
+    context = rrb(dec["rrb_u"]["32"], context)
+    preds = _tconv(dec["terminal_module"]["32"], context, pad=0)
+    want_flow = preds[0, 1:3].permute(1, 2, 0).numpy()
+    want_cert = preds[0, 0].numpy()
+
+    np.testing.assert_allclose(np.asarray(flow_j)[0], want_flow,
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(cert_j)[0], want_cert,
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ctx_j)[0],
+        context[0].permute(1, 2, 0).numpy(), atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# DUSt3R: CroCo decoder block (pre-norm self-attn + cross-attn with
+# RoPE-100 + MLP) and the DPT pointmap head — upstream croco/dust3r
+# forwards restated.
+# ---------------------------------------------------------------------------
+
+
+def _torch_rope_2d(tokens, pos, base=100.0):
+    """tokens (heads, n, d); pos (n, 2) int (y, x) — croco RoPE2D."""
+    hds, n, d = tokens.shape
+    half = d // 2
+
+    def rope1d(t, p1d):
+        dd = t.shape[-1]
+        inv = 1.0 / (base ** (torch.arange(0, dd, 2).float() / dd))
+        freqs = p1d.float()[:, None] * inv[None]
+        emb = torch.cat([freqs, freqs], -1)
+        cos, sin = emb.cos(), emb.sin()
+        t1, t2 = t[..., :dd // 2], t[..., dd // 2:]
+        rot = torch.cat([-t2, t1], -1)
+        return t * cos[None] + rot * sin[None]
+
+    ty, tx = tokens[..., :half], tokens[..., half:]
+    return torch.cat([rope1d(ty, pos[:, 0]), rope1d(tx, pos[:, 1])], -1)
+
+
+def torch_croco_decoder_block(sd, pre, x, y, pos, heads, base=100.0):
+    import torch.nn.functional as F
+
+    d = x.shape[-1]
+    dh = d // heads
+
+    def lin(nm, t):
+        return t @ _t(sd[f"{nm}.weight"]).T + _t(sd[f"{nm}.bias"])
+
+    def ln(nm, t):
+        return F.layer_norm(t, (d,), _t(sd[f"{nm}.weight"]),
+                            _t(sd[f"{nm}.bias"]))
+
+    def heads_split(t):
+        return t.reshape(-1, heads, dh).permute(1, 0, 2)
+
+    def attn_out(q, k, v):
+        logits = torch.einsum("hnd,hmd->hnm", q, k) / dh ** 0.5
+        return torch.einsum("hnm,hmd->hnd", logits.softmax(-1), v)
+
+    # self-attention with rope
+    xn = ln(f"{pre}.norm1", x)
+    qkv = lin(f"{pre}.attn.qkv", xn).reshape(-1, 3, heads, dh)
+    q = _torch_rope_2d(qkv[:, 0].permute(1, 0, 2), pos, base)
+    k = _torch_rope_2d(qkv[:, 1].permute(1, 0, 2), pos, base)
+    v = qkv[:, 2].permute(1, 0, 2)
+    msg = attn_out(q, k, v).permute(1, 0, 2).reshape(-1, d)
+    x = x + lin(f"{pre}.attn.proj", msg)
+
+    # cross-attention with rope (croco: rope on q and k)
+    xn = ln(f"{pre}.norm2", x)
+    yn = ln(f"{pre}.norm_y", y)
+    q = _torch_rope_2d(heads_split(lin(f"{pre}.cross_attn.projq", xn)),
+                       pos, base)
+    k = _torch_rope_2d(heads_split(lin(f"{pre}.cross_attn.projk", yn)),
+                       pos, base)
+    v = heads_split(lin(f"{pre}.cross_attn.projv", yn))
+    msg = attn_out(q, k, v).permute(1, 0, 2).reshape(-1, d)
+    x = x + lin(f"{pre}.cross_attn.proj", msg)
+
+    # mlp
+    xn = ln(f"{pre}.norm3", x)
+    h = F.gelu(lin(f"{pre}.mlp.fc1", xn))
+    return x + lin(f"{pre}.mlp.fc2", h)
+
+
+def test_croco_decoder_block_parity():
+    from imcui_tpu.models.backbones import vit
+
+    dim, heads = 64, 4
+    blk = vit.init_decoder_block(jax.random.PRNGKey(27), dim)
+    rng = np.random.default_rng(28)
+
+    def fill(p):
+        if isinstance(p, dict):
+            for k in p:
+                if isinstance(p[k], dict):
+                    fill(p[k])
+                else:
+                    p[k] = jnp.asarray(
+                        rng.normal(size=p[k].shape).astype(np.float32)
+                        * 0.05)
+    fill(blk)
+
+    hp, wp = 3, 4
+    x = rng.normal(size=(hp * wp, dim)).astype(np.float32)
+    y = rng.normal(size=(hp * wp, dim)).astype(np.float32)
+    pos = np.asarray(vit.grid_positions(hp, wp))
+
+    sd = tree_to_state_dict({"b": blk})
+    want = torch_croco_decoder_block(
+        sd, "b", torch.from_numpy(x), torch.from_numpy(y),
+        torch.from_numpy(pos), heads).numpy()
+    got = np.asarray(vit.decoder_block_apply(
+        blk, jnp.asarray(x), jnp.asarray(y), heads,
+        pos=jnp.asarray(pos), kpos=jnp.asarray(pos), rope_base=100.0))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def torch_dpt(p, hooks, grid):
+    import torch.nn.functional as F
+
+    hp, wp = grid
+    fm = [torch.from_numpy(np.asarray(h)).reshape(hp, wp, -1)
+          .permute(2, 0, 1)[None] for h in hooks]
+
+    def convt(pp, x):
+        # our (kh, kw, cout, cin) layout == torch (cin, cout, kh, kw).T
+        w = _t(pp["w"]).permute(3, 2, 0, 1)
+        k = w.shape[-1]
+        return F.conv_transpose2d(x, w, _t(pp["b"]), stride=k)
+
+    act = p["act_postprocess"]
+    l1 = convt(act[0]["1"], _tconv(act[0]["0"], fm[0], pad=0))
+    l2 = convt(act[1]["1"], _tconv(act[1]["0"], fm[1], pad=0))
+    l3 = _tconv(act[2]["0"], fm[2], pad=0)
+    l4 = _tconv(act[3]["1"], _tconv(act[3]["0"], fm[3], pad=0), stride=2)
+
+    s = p["scratch"]
+    l1 = _tconv(s["layer1_rn"], l1)
+    l2 = _tconv(s["layer2_rn"], l2)
+    l3 = _tconv(s["layer3_rn"], l3)
+    l4 = _tconv(s["layer4_rn"], l4)
+
+    def rcu(pp, x):
+        y = _tconv(pp["conv1"], F.relu(x))
+        y = _tconv(pp["conv2"], F.relu(y))
+        return x + y
+
+    def fusion(pp, x, res=None, size=None):
+        if res is not None:
+            x = x + rcu(pp["resConfUnit1"], res)
+        x = rcu(pp["resConfUnit2"], x)
+        if size is None:
+            size = (x.shape[-2] * 2, x.shape[-1] * 2)
+        x = F.interpolate(x, size=size, mode="bilinear",
+                          align_corners=True)
+        return _tconv(pp["out_conv"], x, pad=0)
+
+    path4 = fusion(s["refinenet4"], l4, size=l3.shape[-2:])
+    path3 = fusion(s["refinenet3"], path4, l3, size=l2.shape[-2:])
+    path2 = fusion(s["refinenet2"], path3, l2, size=l1.shape[-2:])
+    path1 = fusion(s["refinenet1"], path2, l1)
+
+    x = _tconv(p["head"]["0"], path1)
+    x = F.interpolate(x, scale_factor=2.0, mode="bilinear",
+                      align_corners=True)
+    x = F.relu(_tconv(p["head"]["2"], x))
+    x = _tconv(p["head"]["4"], x, pad=0)
+    return x[0].permute(1, 2, 0).numpy()
+
+
+def test_dpt_head_parity():
+    from imcui_tpu.models.backbones import dpt
+
+    dims = (48, 32, 32, 32)
+    p = dpt.init_dpt(jax.random.PRNGKey(29), dim_tokens=dims,
+                     layer_dims=(8, 12, 16, 24), feature_dim=16,
+                     last_dim=8)
+    hp, wp = 4, 6
+    rng = np.random.default_rng(30)
+    hooks = [rng.normal(size=(hp * wp, d)).astype(np.float32) * 0.5
+             for d in dims]
+
+    want = torch_dpt(p, hooks, (hp, wp))
+    got = np.asarray(dpt.dpt_apply(
+        p, [jnp.asarray(h) for h in hooks], (hp, wp)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_mast3r_desc_head_parity():
+    """Cat-MLP local-features head: MLP over cat(enc, dec) tokens →
+    pixel-shuffle to full res → split desc / conf, L2-norm + 1+exp."""
+    import torch.nn.functional as F
+    from imcui_tpu.models.matchers import mast3r
+
+    enc_dim, dec_dim, patch, desc_dim = 24, 16, 4, 8
+    p = mast3r.init_desc_head(jax.random.PRNGKey(31), enc_dim, dec_dim,
+                              patch, desc_dim)
+    hp, wp = 3, 5
+    rng = np.random.default_rng(32)
+    enc = rng.normal(size=(hp * wp, enc_dim)).astype(np.float32)
+    dec = rng.normal(size=(hp * wp, dec_dim)).astype(np.float32)
+
+    desc_j, conf_j = mast3r.desc_head_apply(
+        p, jnp.asarray(enc), jnp.asarray(dec), (hp, wp), patch, desc_dim)
+
+    sd = tree_to_state_dict({"h": p})
+    x = torch.cat([torch.from_numpy(enc), torch.from_numpy(dec)], -1)
+    # MLP: fc1 → GELU → fc2 (upstream head_local_features MLP)
+    x = F.gelu(x @ _t(sd["h.fc1.weight"]).T + _t(sd["h.fc1.bias"]))
+    x = x @ _t(sd["h.fc2.weight"]).T + _t(sd["h.fc2.bias"])
+    x = x.reshape(hp, wp, desc_dim + 1, patch, patch)
+    x = x.permute(0, 3, 1, 4, 2).reshape(hp * patch, wp * patch,
+                                         desc_dim + 1)
+    desc_t = F.normalize(x[..., :desc_dim], p=2, dim=-1).numpy()
+    conf_t = (1 + x[..., desc_dim].exp()).numpy()
+
+    np.testing.assert_allclose(np.asarray(desc_j), desc_t,
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(conf_j), conf_t,
+                               atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# ASpanFormer: the adaptive-span building blocks — global-correlation
+# soft-argmax flow and masked windowed cross-attention — restated in
+# torch. (The coarse transformer is a documented TPU-first redesign of
+# the published hierarchical scheme; the shared LoFTR encoder layer it
+# wraps is fixtured in test_torch_parity.py.)
+# ---------------------------------------------------------------------------
+
+
+def test_aspanformer_span_attention_parity():
+    import torch.nn.functional as F
+    from imcui_tpu.models.matchers import aspanformer as asp
+    from imcui_tpu.models.matchers.loftr import init_encoder_layer
+
+    d = 64
+    layer = init_encoder_layer(jax.random.PRNGKey(33), d)
+    rng = np.random.default_rng(34)
+    n, s2 = 6, asp.SPAN ** 2
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    spans = rng.normal(size=(n, s2, d)).astype(np.float32)
+    smask = rng.uniform(size=(n, s2)) > 0.3
+
+    got = np.asarray(asp._local_cross(layer, jnp.asarray(x),
+                                      jnp.asarray(spans),
+                                      jnp.asarray(smask)))
+
+    # torch restatement
+    sd = tree_to_state_dict({"l": layer})
+
+    def lin(nm, t):
+        w = _t(sd[f"l.{nm}.weight"])
+        out = t @ w.T
+        if f"l.{nm}.bias" in sd:
+            out = out + _t(sd[f"l.{nm}.bias"])
+        return out
+
+    nhead = 8
+    dh = d // nhead
+    q = lin("q_proj", torch.from_numpy(x)).reshape(n, 1, nhead, dh)
+    k = lin("k_proj", torch.from_numpy(spans)).reshape(n, s2, nhead, dh)
+    v = lin("v_proj", torch.from_numpy(spans)).reshape(n, s2, nhead, dh)
+    logits = torch.einsum("nqhd,nshd->nhqs", q, k) / dh ** 0.5
+    logits = logits.masked_fill(
+        ~torch.from_numpy(smask)[:, None, None, :], -1e9)
+    msg = torch.einsum("nhqs,nshd->nqhd", logits.softmax(-1), v)
+    msg = lin("merge", msg.reshape(n, d))
+    msg = F.layer_norm(msg, (d,), _t(sd["l.norm1.weight"]),
+                       _t(sd["l.norm1.bias"]))
+    h = torch.cat([torch.from_numpy(x), msg], -1)
+    h = lin("mlp.2", F.relu(lin("mlp.0", h)))
+    h = F.layer_norm(h, (d,), _t(sd["l.norm2.weight"]),
+                     _t(sd["l.norm2.bias"]))
+    want = (torch.from_numpy(x) + h).numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_aspanformer_soft_flow_parity():
+    from imcui_tpu.models.matchers import aspanformer as asp
+
+    rng = np.random.default_rng(35)
+    hc, wc, d = 4, 6, 32
+    f0 = rng.normal(size=(hc * wc, d)).astype(np.float32)
+    f1 = rng.normal(size=(hc * wc, d)).astype(np.float32)
+    m1 = rng.uniform(size=hc * wc) > 0.2
+
+    got = np.asarray(asp._soft_flow(jnp.asarray(f0), jnp.asarray(f1),
+                                    hc, wc, jnp.ones(hc * wc, bool),
+                                    jnp.asarray(m1)))
+
+    sim = (torch.from_numpy(f0) @ torch.from_numpy(f1).T) / \
+        (d ** 0.5 * 0.1)
+    sim = sim.masked_fill(~torch.from_numpy(m1)[None, :], -1e9)
+    attn = sim.softmax(-1)
+    gx = (torch.arange(hc * wc) % wc).float()
+    gy = (torch.arange(hc * wc) // wc).float()
+    want = torch.stack([attn @ gx, attn @ gy], -1).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
