@@ -116,136 +116,176 @@ def match_lines(desc0, desc1, min_votes=3):
 
 
 # ---------------------------------------------------------------------------
-# GlueStick GNN (joint point + line-endpoint attention)
+# GlueStick GNN — upstream-congruent (cvg/GlueStick models/gluestick.py):
+# tokens are the wireframe JUNCTIONS (keypoints ∪ line endpoints, each
+# with a SuperPoint descriptor); kenc/lenc are SuperGlue-style Conv1d
+# MLPs; 18 alternating self/cross AttentionalPropagation layers, each
+# self layer followed by LINE MESSAGE PASSING over the wireframe
+# connectivity (endpoint message = MLP(cat[self, partner, line_enc]),
+# scatter-mean into junctions); point head = final_proj + Sinkhorn with
+# bin_score; line head = final_line_proj endpoint-pair scores,
+# orientation max, double-softmax with line_bin_score. Parameter naming
+# mirrors the upstream state_dict (kenc.encoder.{i}, lenc.encoder.{i},
+# gnn.layers.{i}.attn.proj.{0,1,2}/attn.merge/mlp.{0,1,3},
+# gnn.line_layers.{j}.mlp.{0,1,3}, final_proj, final_line_proj,
+# bin_score, line_bin_score) so checkpoint_GlueStick_MD.tar converts
+# through the shared rank-based engine.
 # ---------------------------------------------------------------------------
+
+N_GNN_LAYERS = 18  # ["self", "cross"] * 9 (upstream GNN_layers)
+KENC_LAYERS = [32, 64, 128, 256]
+
 
 def init_gnn_params(rng):
     from ..layers import init_linear
+    from .superglue import init_mlp
 
-    keys = jax.random.split(rng, 4 + 3 * N_GNN_LAYERS)
+    keys = jax.random.split(rng, 5 + N_GNN_LAYERS + N_GNN_LAYERS // 2)
     params = {
-        "kenc": {"0": init_linear(keys[0], 3, 64),
-                 "1": init_linear(keys[1], 64, D_MODEL)},
-        "line_flag": jax.random.normal(keys[2], (2, D_MODEL)) * 0.02,
-        "layers": [],
+        "kenc": {"encoder": init_mlp(keys[0],
+                                     [3] + KENC_LAYERS + [D_MODEL])},
+        "lenc": {"encoder": init_mlp(keys[1],
+                                     [5] + KENC_LAYERS + [D_MODEL])},
+        "gnn": {"layers": [], "line_layers": []},
+        "final_proj": init_linear(keys[2], D_MODEL, D_MODEL),
+        "final_line_proj": init_linear(keys[3], D_MODEL, D_MODEL),
         "bin_score": jnp.asarray(1.0),
+        "line_bin_score": jnp.asarray(1.0),
     }
     for i in range(N_GNN_LAYERS):
-        k1, k2, k3 = jax.random.split(keys[3 + i], 3)
-        params["layers"].append({
-            "qkv": init_linear(k1, D_MODEL, 3 * D_MODEL),
-            "mlp": {"0": init_linear(jax.random.fold_in(k2, 0),
-                                     2 * D_MODEL, 2 * D_MODEL),
-                    "2": init_linear(jax.random.fold_in(k2, 1),
-                                     2 * D_MODEL, D_MODEL)},
-            "line_mp": init_linear(k3, 2 * D_MODEL, D_MODEL),
+        k = jax.random.split(keys[4 + i], 5)
+        params["gnn"]["layers"].append({
+            "attn": {
+                "merge": init_linear(k[0], D_MODEL, D_MODEL),
+                "proj": {"0": init_linear(k[1], D_MODEL, D_MODEL),
+                         "1": init_linear(k[2], D_MODEL, D_MODEL),
+                         "2": init_linear(k[3], D_MODEL, D_MODEL)},
+            },
+            "mlp": init_mlp(k[4], [2 * D_MODEL, 2 * D_MODEL, D_MODEL]),
         })
+    for j in range(N_GNN_LAYERS // 2):
+        params["gnn"]["line_layers"].append({
+            "mlp": init_mlp(keys[5 + N_GNN_LAYERS + j],
+                            [3 * D_MODEL, 2 * D_MODEL, D_MODEL])})
     return params
 
 
-def _attn(p, x, source, mask_src):
-    from ...ops.attention import mha
-    from ..layers import linear, relu
+def _line_message(p, x, line_enc, junc_idx, mask_line):
+    """Upstream LineLayer: each endpoint token receives
+    MLP(cat[own desc, partner-endpoint desc, line encoding]), aggregated
+    into its junction by scatter-MEAN (junctions may anchor several
+    lines). x: (T, D) junction tokens; junc_idx: (2L,) endpoint→junction
+    indices (consecutive pairs are one line)."""
+    from .superglue import mlp_apply
 
-    d = x.shape[-1]
-    dh = d // NHEAD
-    q = linear(p["qkv"], x)[:, :d].reshape(-1, NHEAD, dh).transpose(
-        1, 0, 2)
-    kv = linear(p["qkv"], source)
-    k = kv[:, d:2 * d].reshape(-1, NHEAD, dh).transpose(1, 0, 2)
-    v = kv[:, 2 * d:].reshape(-1, NHEAD, dh).transpose(1, 0, 2)
-    msg = mha(q, k, v, mask_k=mask_src).transpose(1, 0, 2).reshape(-1, d)
-    return x + linear(p["mlp"]["2"], relu(linear(
-        p["mlp"]["0"], jnp.concatenate([x, msg], -1))))
-
-
-def _line_message(p, x, n_kpts, n_lines, mask_ep):
-    """Wireframe connectivity: endpoint 2i exchanges with 2i+1."""
-    from ..layers import linear
-
-    ep = x[n_kpts:]  # (2L, d)
-    other = ep.reshape(n_lines, 2, -1)[:, ::-1].reshape(2 * n_lines, -1)
-    upd = linear(p["line_mp"], jnp.concatenate([ep, other], -1))
-    ep = jnp.where(mask_ep[:, None], ep + upd, ep)
-    return jnp.concatenate([x[:n_kpts], ep], 0)
+    t, d = x.shape
+    two_l = junc_idx.shape[0]
+    ep = x[junc_idx]                                       # (2L, D)
+    other = ep.reshape(-1, 2, d)[:, ::-1].reshape(two_l, d)
+    msg = mlp_apply(p["mlp"],
+                    jnp.concatenate([ep, other, line_enc], -1),
+                    [3 * d, 2 * d, d])
+    w = jnp.repeat(mask_line, 2).astype(x.dtype)
+    upd = jax.ops.segment_sum(msg * w[:, None], junc_idx, num_segments=t)
+    cnt = jax.ops.segment_sum(w, junc_idx, num_segments=t)
+    return x + upd / jnp.maximum(cnt, 1.0)[:, None]
 
 
-def gnn_forward(params, kpts0, desc0, lines0, mk0, ml0, kpts1, desc1,
-                lines1, mk1, ml1, size0, size1, conf):
-    """Joint point+line GNN. kpts*: (N, 2); desc*: (N, 256); lines*:
-    (L, 2, 2) with validity ml*: (L,). Returns point matches (N,), point
-    scores (N,), line similarity matrix (L, L)."""
+def log_double_softmax(scores, bin_score):
+    """Upstream gluestick line assignment: averaged row/column
+    log-softmax with a learned bin. scores: (M, N) → (M+1, N+1)."""
+    m, n = scores.shape
+    s0 = jnp.concatenate([scores, jnp.full((m, 1), bin_score)], 1)
+    s1 = jnp.concatenate([scores, jnp.full((1, n), bin_score)], 0)
+    s0 = jax.nn.log_softmax(s0, axis=1)
+    s1 = jax.nn.log_softmax(s1, axis=0)
+    out = jnp.zeros((m + 1, n + 1), scores.dtype)
+    out = out.at[:m, :n].set((s0[:, :n] + s1[:m, :]) / 2)
+    out = out.at[:m, n].set(s0[:, n])
+    out = out.at[m, :n].set(s1[m, :])
+    return out
+
+
+def gnn_forward(params, junc0, jdesc0, jscore0, lines0, lscore0, jidx0,
+                mk0, ml0, junc1, jdesc1, jscore1, lines1, lscore1, jidx1,
+                mk1, ml1, size0, size1, conf):
+    """Joint point+line GNN over junction tokens.
+
+    junc*: (T, 2) junction positions; jdesc*: (T, 256) SuperPoint
+    descriptors; jscore*: (T,); lines*: (L, 2, 2); lscore*: (L,);
+    jidx*: (2L,) endpoint→junction token indices; mk*: (T,) token
+    validity; ml*: (L,) line validity. Returns point matches (T,) +
+    scores, line matches (L,) + scores."""
     from ...ops.sinkhorn import (log_optimal_transport,
                                  matches_from_assignment)
-    from ..layers import linear, relu
+    from ..layers import linear
+    from .superglue import (attn_propagation, mlp_apply,
+                            normalize_keypoints)
 
-    n = kpts0.shape[0]
+    t = junc0.shape[0]
     ll = lines0.shape[0]
 
-    def tokens(kpts, desc, lines, mask_l, size):
-        pn = (kpts - size / 2) / size.max()
-        ep = (lines.reshape(-1, 2) - size / 2) / size.max()  # (2L, 2)
-        pos = jnp.concatenate([pn, ep], 0)
-        prior = jnp.concatenate(
-            [jnp.zeros((n, 1)), jnp.ones((2 * ll, 1))], 0)
-        enc = linear(params["kenc"]["1"], relu(linear(
-            params["kenc"]["0"], jnp.concatenate([pos, prior], -1))))
-        flags = jnp.concatenate(
-            [jnp.broadcast_to(params["line_flag"][0], (n, D_MODEL)),
-             jnp.broadcast_to(params["line_flag"][1],
-                              (2 * ll, D_MODEL))], 0)
-        # endpoint appearance: reuse the nearest keypoint descriptor
-        # space by zero-init appearance (positions + connectivity carry
-        # the line signal; the checkpoint's endpoint encoder maps here)
-        app = jnp.concatenate([desc, jnp.zeros((2 * ll, D_MODEL))], 0)
-        return enc + flags + app
+    def encode(junc, jdesc, jscore, lines, lscore, size):
+        pn = normalize_keypoints(junc, size)
+        x = jdesc + mlp_apply(
+            params["kenc"]["encoder"],
+            jnp.concatenate([pn, jscore[:, None]], -1),
+            [3] + KENC_LAYERS + [D_MODEL])
+        ep = normalize_keypoints(lines.reshape(-1, 2), size)  # (2L, 2)
+        e2 = ep.reshape(-1, 2, 2)
+        off = (e2[:, ::-1] - e2).reshape(-1, 2)   # vector to the partner
+        lenc_in = jnp.concatenate(
+            [ep, off, jnp.repeat(lscore, 2)[:, None]], -1)
+        line_enc = mlp_apply(params["lenc"]["encoder"], lenc_in,
+                             [5] + KENC_LAYERS + [D_MODEL])
+        return x, line_enc
 
-    x0 = tokens(kpts0, desc0, lines0, ml0, size0)
-    x1 = tokens(kpts1, desc1, lines1, ml1, size1)
-    ep_mask0 = jnp.repeat(ml0, 2)
-    ep_mask1 = jnp.repeat(ml1, 2)
-    tok_mask0 = jnp.concatenate([mk0, ep_mask0], 0)
-    tok_mask1 = jnp.concatenate([mk1, ep_mask1], 0)
+    x0, line_enc0 = encode(junc0, jdesc0, jscore0, lines0, lscore0, size0)
+    x1, line_enc1 = encode(junc1, jdesc1, jscore1, lines1, lscore1, size1)
 
-    for i, p in enumerate(params["layers"]):
-        if i % 3 == 0:  # self
-            x0 = _attn(p, x0, x0, tok_mask0)
-            x1 = _attn(p, x1, x1, tok_mask1)
-        elif i % 3 == 1:  # line message passing
-            x0 = _line_message(p, x0, n, ll, ep_mask0)
-            x1 = _line_message(p, x1, n, ll, ep_mask1)
+    for i, p in enumerate(params["gnn"]["layers"]):
+        if i % 2 == 0:  # self + line message passing
+            x0 = x0 + attn_propagation(p, x0, x0, mk0, NHEAD)
+            x1 = x1 + attn_propagation(p, x1, x1, mk1, NHEAD)
+            lp = params["gnn"]["line_layers"][i // 2]
+            x0 = _line_message(lp, x0, line_enc0, jidx0, ml0)
+            x1 = _line_message(lp, x1, line_enc1, jidx1, ml1)
         else:  # cross
-            x0n = _attn(p, x0, x1, tok_mask1)
-            x1 = _attn(p, x1, x0, tok_mask0)
+            x0n = x0 + attn_propagation(p, x0, x1, mk1, NHEAD)
+            x1 = x1 + attn_propagation(p, x1, x0, mk0, NHEAD)
             x0 = x0n
 
-    # points: sinkhorn assignment over keypoint tokens
-    f0 = x0[:n]
-    f1 = x1[:n]
-    sim = (f0 @ f1.T) / D_MODEL ** 0.25
+    # points: sinkhorn assignment over junction tokens
+    f0 = linear(params["final_proj"], x0)
+    f1 = linear(params["final_proj"], x1)
+    sim = (f0 @ f1.T) / D_MODEL ** 0.5
     z = log_optimal_transport(sim, params["bin_score"],
                               conf.get("sinkhorn_iterations", 20),
                               mask0=mk0, mask1=mk1)
     matches0, mscores0 = matches_from_assignment(
         z, conf.get("match_threshold", 0.2), mask0=mk0, mask1=mk1)
 
-    # lines: endpoint-pair similarity, orientation-invariant
-    e0 = x0[n:].reshape(ll, 2, -1)
-    e1 = x1[n:].reshape(ll, 2, -1)
-    s = jnp.einsum("lad,mbd->lmab", e0, e1,
-                   preferred_element_type=jnp.float32) / D_MODEL ** 0.5
-    fwd = s[..., 0, 0] + s[..., 1, 1]
-    rev = s[..., 0, 1] + s[..., 1, 0]
-    line_sim = jnp.maximum(fwd, rev)
-    line_sim = jnp.where(ml0[:, None] & ml1[None, :], line_sim, -1e9)
-    return matches0, mscores0, line_sim
+    # lines: endpoint-pair similarity through final_line_proj,
+    # orientation max, double softmax
+    le0 = linear(params["final_line_proj"], x0)[jidx0]      # (2L, D)
+    le1 = linear(params["final_line_proj"], x1)[jidx1]
+    s = (le0 @ le1.T / D_MODEL ** 0.5).reshape(ll, 2, ll, 2)
+    raw = 0.5 * jnp.maximum(s[:, 0, :, 0] + s[:, 1, :, 1],
+                            s[:, 0, :, 1] + s[:, 1, :, 0])
+    raw = jnp.where(ml0[:, None] & ml1[None, :], raw, -1e9)
+    zl = log_double_softmax(raw, params["line_bin_score"])
+    lmatches0, lscores0 = matches_from_assignment(
+        zl, conf.get("match_threshold", 0.2), mask0=ml0, mask1=ml1)
+    return matches0, mscores0, lmatches0, lscores0
 
 
 @functools.partial(jax.jit, static_argnames=("conf_key",))
-def _gnn_apply(params, kpts0, desc0, lines0, mk0, ml0, kpts1, desc1,
-               lines1, mk1, ml1, size0, size1, conf_key):
-    return gnn_forward(params, kpts0, desc0, lines0, mk0, ml0, kpts1,
-                       desc1, lines1, mk1, ml1, size0, size1,
+def _gnn_apply(params, junc0, jdesc0, jscore0, lines0, lscore0, jidx0,
+               mk0, ml0, junc1, jdesc1, jscore1, lines1, lscore1, jidx1,
+               mk1, ml1, size0, size1, conf_key):
+    return gnn_forward(params, junc0, jdesc0, jscore0, lines0, lscore0,
+                       jidx0, mk0, ml0, junc1, jdesc1, jscore1, lines1,
+                       lscore1, jidx1, mk1, ml1, size0, size1,
                        dict(conf_key))
 
 
@@ -278,7 +318,26 @@ class GlueStick(BaseModel):
         self.gnn_params = init_gnn_params(jax.random.PRNGKey(0))
         ckpt = download_checkpoint(
             "gluestick/checkpoint_GlueStick_MD.tar")
-        gnn_pretrained = False  # conversion lands with the checkpoint
+        gnn_pretrained = False
+        if ckpt is not None:
+            # TwoViewPipeline checkpoint: matcher.* holds the GNN (the
+            # extractor side is SuperPoint + pytlsd, loaded separately);
+            # loud on mismatch like every .pth path.
+            from ...utils.weights import (assert_tree_matches,
+                                          convert_state_dict_auto,
+                                          load_state_dict,
+                                          normalize_state_dict,
+                                          prune_to_tree)
+
+            sd = load_state_dict(ckpt)
+            sd = normalize_state_dict(
+                sd, rename=((r"^matcher\.", ""),),
+                drop=(r"^extractor\.", r"^ground_truth"))
+            tree = prune_to_tree(convert_state_dict_auto(sd),
+                                 self.gnn_params)
+            assert_tree_matches(tree, self.gnn_params, "gluestick")
+            self.gnn_params = tree
+            gnn_pretrained = True
         self.meta = {"pretrained": self.sp.meta.get("pretrained", False),
                      "gnn_pretrained": gnn_pretrained}
         use = conf.get("use_gnn")
@@ -348,8 +407,14 @@ class GlueStick(BaseModel):
                               self.conf["min_line_length"])
 
         if self.use_gnn:
-            # joint point+line GNN path (fixed-shape line padding)
+            # joint point+line GNN path over the junction token set:
+            # [N keypoints ‖ 2L line endpoints], fixed-shape padding.
+            # Endpoint appearance = SuperPoint descriptors sampled at the
+            # endpoints (the wireframe extractor's junction descriptors);
+            # line scores = normalised lengths (the pytlsd saliency
+            # analog).
             lmax = int(self.conf["max_lines"])
+            n_kpts = len(kpts0)
 
             def pad_lines(ln):
                 out = np.zeros((lmax, 2, 2), np.float32)
@@ -357,27 +422,46 @@ class GlueStick(BaseModel):
                 out[:k] = ln[:k]
                 valid_l = np.zeros((lmax,), bool)
                 valid_l[:k] = True
-                return out, valid_l
+                lengths = np.linalg.norm(out[:, 1] - out[:, 0], axis=-1)
+                lsc = lengths / max(lengths.max(), 1e-6)
+                return out, valid_l, lsc.astype(np.float32)
 
-            pl0, vl0 = pad_lines(lines0)
-            pl1, vl1 = pad_lines(lines1)
+            pl0, vl0, ls0 = pad_lines(lines0)
+            pl1, vl1, ls1 = pad_lines(lines1)
+
+            def junctions(kp, desc, ksc, mk, pl, vl, dmap):
+                ep = pl.reshape(-1, 2)
+                epd = describe_points(dmap.transpose(2, 0, 1), ep)
+                junc = np.concatenate([kp, ep], 0).astype(np.float32)
+                jdesc = np.concatenate([desc, epd], 0).astype(np.float32)
+                jscore = np.concatenate(
+                    [ksc, np.repeat(vl.astype(np.float32), 2)], 0)
+                jmask = np.concatenate([mk, np.repeat(vl, 2)], 0)
+                jidx = n_kpts + np.arange(2 * lmax, dtype=np.int32)
+                return junc, jdesc, jscore, jmask, jidx
+
+            j0 = junctions(kpts0, d0, f0["scores"], m0, pl0, vl0, dmap0)
+            j1 = junctions(kpts1, d1, f1["scores"], m1, pl1, vl1, dmap1)
             h0, w0 = g0.shape
             h1, w1 = g1.shape
-            matches0_j, mscores0_j, line_sim = _gnn_apply(
-                self.gnn_params, jnp.asarray(kpts0), jnp.asarray(d0),
-                jnp.asarray(pl0), jnp.asarray(m0), jnp.asarray(vl0),
-                jnp.asarray(kpts1), jnp.asarray(d1), jnp.asarray(pl1),
-                jnp.asarray(m1), jnp.asarray(vl1),
+            matches0_j, mscores0_j, lm_j, _lsc_j = _gnn_apply(
+                self.gnn_params,
+                jnp.asarray(j0[0]), jnp.asarray(j0[1]), jnp.asarray(j0[2]),
+                jnp.asarray(pl0), jnp.asarray(ls0), jnp.asarray(j0[4]),
+                jnp.asarray(j0[3]), jnp.asarray(vl0),
+                jnp.asarray(j1[0]), jnp.asarray(j1[1]), jnp.asarray(j1[2]),
+                jnp.asarray(pl1), jnp.asarray(ls1), jnp.asarray(j1[4]),
+                jnp.asarray(j1[3]), jnp.asarray(vl1),
                 jnp.asarray([w0, h0], jnp.float32),
                 jnp.asarray([w1, h1], jnp.float32), self._gnn_conf_key)
+            # point outputs over the full junction set (upstream contract:
+            # the wireframe's junctions ARE the keypoints)
             matches0 = np.asarray(matches0_j)
             mscores0 = np.asarray(mscores0_j)
-            ls = np.asarray(line_sim)
-            nn01 = ls.argmax(1)
-            nn10 = ls.argmax(0)
-            lmutual = np.arange(len(ls)) == nn10[nn01]
-            lm_full = np.where(lmutual & vl0 & (ls.max(1) > 0), nn01, -1)
-            lm = lm_full[: len(lines0)].astype(np.int32)
+            kpts0 = j0[0]
+            kpts1 = j1[0]
+            lm = np.asarray(lm_j)[: len(lines0)].astype(np.int32)
+            lm = np.where(lm < len(lines1), lm, -1)
         else:
             res = mutual_nn_match(
                 jnp.asarray(d0), jnp.asarray(d1), mask0=jnp.asarray(m0),

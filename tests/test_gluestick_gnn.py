@@ -37,25 +37,62 @@ def test_gnn_path_contract():
 
 
 def test_line_message_passing_swaps_endpoints():
-    """The wireframe message must pair endpoint 2i with 2i+1."""
+    """The wireframe message must pair endpoint 2i with 2i+1 and leave
+    junctions that anchor no line untouched."""
     import jax
     import jax.numpy as jnp
 
     from imcui_tpu.models.matchers import gluestick as gs
 
     params = gs.init_gnn_params(jax.random.PRNGKey(0))
-    p = params["layers"][0]
+    p = params["gnn"]["line_layers"][0]
     n_kpts, n_lines = 4, 3
-    x = jax.random.normal(jax.random.PRNGKey(1),
-                          (n_kpts + 2 * n_lines, gs.D_MODEL))
-    mask = jnp.ones((2 * n_lines,), bool)
-    y = gs._line_message(p, x, n_kpts, n_lines, mask)
-    # keypoint tokens pass through untouched
+    t = n_kpts + 2 * n_lines
+    x = jax.random.normal(jax.random.PRNGKey(1), (t, gs.D_MODEL))
+    line_enc = jax.random.normal(jax.random.PRNGKey(2),
+                                 (2 * n_lines, gs.D_MODEL))
+    jidx = jnp.asarray(n_kpts + np.arange(2 * n_lines), jnp.int32)
+    mask = jnp.ones((n_lines,), bool)
+    y = gs._line_message(p, x, line_enc, jidx, mask)
+    # keypoint tokens (no anchored line) pass through untouched
     assert np.allclose(np.asarray(y[:n_kpts]), np.asarray(x[:n_kpts]))
     # endpoint update depends on the partner endpoint: changing endpoint
     # 2i+1 must change endpoint 2i's output (and not other lines')
     x2 = x.at[n_kpts + 1].add(1.0)
-    y2 = gs._line_message(p, x2, n_kpts, n_lines, mask)
+    y2 = gs._line_message(p, x2, line_enc, jidx, mask)
     assert not np.allclose(np.asarray(y2[n_kpts]), np.asarray(y[n_kpts]))
-    assert np.allclose(np.asarray(y2[n_kpts + 2:n_kpts + 6]),
-                       np.asarray(y[n_kpts + 2:n_kpts + 6]))
+    assert np.allclose(np.asarray(y2[n_kpts + 2:n_kpts + 4]),
+                       np.asarray(y[n_kpts + 2:n_kpts + 4]))
+
+
+def test_gluestick_gnn_conversion_roundtrip():
+    """Synthetic upstream-named state_dict (matcher.* prefix, Conv1d
+    MLPs, BN stats, bin scores) converts onto the GNN tree exactly —
+    the checkpoint_GlueStick_MD.tar mapping path (VERDICT r2 #6)."""
+    import jax
+
+    from imcui_tpu.models.matchers import gluestick as gs
+    from imcui_tpu.utils.weights import (assert_tree_matches,
+                                         convert_state_dict_auto,
+                                         normalize_state_dict,
+                                         prune_to_tree,
+                                         tree_to_state_dict)
+
+    params = gs.init_gnn_params(jax.random.PRNGKey(3))
+    sd = tree_to_state_dict(params)
+    # emulate the TwoViewPipeline layout: matcher.* + extractor extras,
+    # Conv1d weights with a trailing singleton kernel dim
+    up = {}
+    for k, v in sd.items():
+        if v.ndim == 2 and ("encoder" in k or "proj" in k
+                            or "merge" in k or "mlp" in k):
+            v = v[..., None]  # torch Conv1d (cout, cin, 1)
+        up[f"matcher.{k}"] = v
+    up["extractor.sp.conv1a.weight"] = np.zeros((4, 1, 3, 3), np.float32)
+    up = normalize_state_dict(up, rename=((r"^matcher\.", ""),),
+                              drop=(r"^extractor\.",))
+    tree = prune_to_tree(convert_state_dict_auto(up), params)
+    assert_tree_matches(tree, params, "gluestick")
+    a = jax.tree_util.tree_leaves(tree)
+    b = jax.tree_util.tree_leaves(params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))

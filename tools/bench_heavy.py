@@ -1,0 +1,141 @@
+"""Heavy-tier benchmarks — BASELINE.md configs 3/4/5 (VERDICT r2 #3).
+
+Measures pairs/s/chip on the real TPU for:
+  3. LoFTR dense 640×480 (re-bench post padding/align-corners fixes)
+  4. RoMa published architecture: DINOv2 ViT-L/14 @ 560² + GP + anchor
+     decoder + 5-scale ConvRefiners
+  5. DUSt3R ViT-L/16 @ 512² dual CroCo decoder + DPT pointmap heads +
+     reciprocal 3-D NN
+
+Measurement rules (BASELINE.md "Measurement hazards"): inputs generated
+ON DEVICE per iteration from distinct PRNG keys, outputs reduced to
+scalars, one block at the end. Random weights — shape-bound throughput.
+
+Usage: python tools/bench_heavy.py [loftr|roma|duster|all] [--bf16]
+Writes one JSON line per config (appends to BASELINE_heavy.jsonl).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _bench(step, iters, warmup, batch, label, extra=None):
+    for i in range(warmup):
+        jax.block_until_ready(step(jax.random.PRNGKey(10_000 + i)))
+    t0 = time.perf_counter()
+    accs = [step(jax.random.PRNGKey(i)) for i in range(iters)]
+    jax.block_until_ready(accs)
+    dt = time.perf_counter() - t0
+    res = {"metric": label, "value": round(batch * iters / dt, 3),
+           "unit": "pairs/s", "iters": iters, "batch": batch,
+           "ms_per_pair": round(1000 * dt / (batch * iters), 2)}
+    if extra:
+        res.update(extra)
+    line = json.dumps(res)
+    print(line, flush=True)
+    with open("BASELINE_heavy.jsonl", "a") as f:
+        f.write(line + "\n")
+
+
+def _cast_bf16(params):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, params)
+
+
+def bench_loftr(bf16=False):
+    from imcui_tpu.models.matchers import loftr
+
+    B, H, W = 2, 480, 640
+    params = loftr.init_params(jax.random.PRNGKey(0))
+    if bf16:
+        params = _cast_bf16(params)
+    conf_key = (("match_threshold", 0.2), ("max_matches", 1024),
+                ("temperature", 0.1))
+    wh = jnp.tile(jnp.asarray([[W, H]], jnp.int32), (B, 1))
+
+    @jax.jit
+    def step(key):
+        k0, k1 = jax.random.split(key)
+        dt = jnp.bfloat16 if bf16 else jnp.float32
+        i0 = jax.random.uniform(k0, (B, H, W, 1), dt)
+        i1 = jax.random.uniform(k1, (B, H, W, 1), dt)
+        out = loftr._apply_batched(params, i0, i1, wh, wh, conf_key)
+        return out["scores"].astype(jnp.float32).sum()
+
+    _bench(step, 40, 3, B, f"pairs/s/chip LoFTR@640x480"
+           + ("(bf16)" if bf16 else ""))
+
+
+def bench_roma(bf16=False, batch=1):
+    from imcui_tpu.models.matchers import roma
+
+    B, R = batch, 560
+    conf = {"dinov2_variant": "vitl14"}
+    params = roma.init_params(jax.random.PRNGKey(0), conf)
+    if bf16:
+        params = _cast_bf16(params)
+    conf_key = (("dinov2_variant", "vitl14"),)
+
+    @jax.jit
+    def step(key):
+        k0, k1 = jax.random.split(key)
+        dt = jnp.bfloat16 if bf16 else jnp.float32
+        i0 = jax.random.uniform(k0, (B, R, R, 3), dt)
+        i1 = jax.random.uniform(k1, (B, R, R, 3), dt)
+        out = roma._apply_batched(params, i0, i1, 2048, conf_key)
+        return out["scores"].astype(jnp.float32).sum()
+
+    _bench(step, 20, 2, B,
+           "pairs/s/chip RoMa(DINOv2-L+GP)@560"
+           + ("(bf16)" if bf16 else "") + f"@B{B}")
+
+
+def bench_duster(bf16=False, batch=1):
+    from imcui_tpu.models.matchers import duster
+
+    B, R = batch, 512
+    conf = dict(duster.PUBLISHED, max_matches=2048, subsample=8)
+    params = duster.init_params(jax.random.PRNGKey(0), conf)
+    if bf16:
+        params = _cast_bf16(params)
+    conf_key = tuple(sorted(
+        {k: conf[k] for k in
+         ("enc_dim", "enc_depth", "enc_heads", "dec_dim", "dec_depth",
+          "dec_heads", "patch", "max_matches", "subsample",
+          "pos_embed", "head_type")}.items()))
+
+    @jax.jit
+    def step(key):
+        k0, k1 = jax.random.split(key)
+        dt = jnp.bfloat16 if bf16 else jnp.float32
+        i0 = jax.random.uniform(k0, (B, R, R, 3), dt) * 2 - 1
+        i1 = jax.random.uniform(k1, (B, R, R, 3), dt) * 2 - 1
+        out = duster._apply_batched(params, i0, i1, conf_key)
+        return out["scores"].astype(jnp.float32).sum()
+
+    _bench(step, 20, 2, B,
+           "pairs/s/chip DUSt3R(ViT-L,dpt)@512"
+           + ("(bf16)" if bf16 else "") + f"@B{B}")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    bf16 = "--bf16" in sys.argv
+    batch = 1
+    for a in sys.argv:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
+    if which in ("loftr", "all"):
+        bench_loftr(bf16)
+    if which in ("roma", "all"):
+        bench_roma(bf16, batch)
+    if which in ("duster", "all"):
+        bench_duster(bf16, batch)
