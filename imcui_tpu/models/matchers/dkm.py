@@ -243,7 +243,10 @@ class DKMv3(BaseModel):
         "model_name": "DKMv3_outdoor.pth",
         "match_threshold": 0.2,
         "max_keypoints": 2048,
-        "coarse_res": (544, 704),   # /32-aligned operating point
+        # None → adapt to the (preprocessed) input, rounded to /32; the
+        # published operating point is 540×720 (set coarse_res for it —
+        # our /32-aligned equivalent is (544, 704))
+        "coarse_res": None,
     }
     required_inputs = ["image0", "image1"]
 
@@ -253,12 +256,17 @@ class DKMv3(BaseModel):
     def _forward(self, data):
         image0 = jnp.asarray(data["image0"], jnp.float32)
         image1 = jnp.asarray(data["image1"], jnp.float32)
+        if self.conf.get("coarse_res"):
+            ch, cw = self.conf["coarse_res"]
+        else:
+            h_in, w_in = image0.shape[-2:]
+            ch = max(round(h_in / 32), 1) * 32
+            cw = max(round(w_in / 32), 1) * 32
 
         def prep(img):
             x = img.transpose(0, 2, 3, 1)
             if x.shape[-1] == 1:
                 x = jnp.tile(x, (1, 1, 1, 3))
-            ch, cw = self.conf["coarse_res"]
             return jax.image.resize(x, (x.shape[0], ch, cw, 3),
                                     "bilinear")
 
@@ -267,7 +275,6 @@ class DKMv3(BaseModel):
                              int(mk))
         h0, w0 = image0.shape[-2:]
         h1, w1 = image1.shape[-2:]
-        ch, cw = self.conf["coarse_res"]
         s0 = jnp.asarray([(w0 - 1) / (cw - 1), (h0 - 1) / (ch - 1)])
         s1 = jnp.asarray([(w1 - 1) / (cw - 1), (h1 - 1) / (ch - 1)])
         out = dict(out)
