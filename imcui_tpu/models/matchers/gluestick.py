@@ -13,16 +13,17 @@ paths —
    line matching by descriptor voting along sampled line points (robust
    with any descriptor quality, used when no GlueStick checkpoint is
    reachable), and
-2. the GlueStick GNN (``gnn_forward`` below): the published joint
-   point+line attention design rebuilt natively — keypoints and the 2L
-   line ENDPOINTS share one token set; layers alternate self-attention,
-   line message passing (each endpoint exchanges features with its line's
-   other endpoint — the wireframe connectivity), and cross-image
-   attention; points decode through a Sinkhorn assignment and lines from
-   their endpoints' pairwise similarities (both orientations). It engages
-   when pretrained weights load (``use_gnn`` conf overrides) — an
-   untrained GNN scrambles descriptors, so the voting path is the honest
-   offline default.
+2. the GlueStick GNN (``gnn_forward`` below): the PUBLISHED layer stack
+   (cvg/GlueStick models/gluestick.py) with upstream parameter naming —
+   junction tokens (keypoints ∪ line endpoints, SuperPoint-described),
+   SuperGlue-style kenc + the endpoint encoder lenc, 18 alternating
+   self/cross AttentionalPropagation layers with line message passing
+   after every self layer, Sinkhorn point head (bin_score) and
+   orientation-max double-softmax line head (line_bin_score). The real
+   ``checkpoint_GlueStick_MD.tar`` converts in ``_init`` through the
+   shared rank-based engine (loud on mismatch), flipping ``use_gnn`` on
+   automatically; an untrained GNN scrambles descriptors, so the voting
+   path is the honest offline default.
 
 TPU-first: the token count is static (N kpts + 2·L endpoints, masked);
 line message passing is one gather+swap; everything jits to one

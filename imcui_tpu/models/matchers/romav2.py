@@ -10,6 +10,17 @@ and adds V2's two-pass refinement (coarse warp re-estimated once from
 warped features — the "recurrent" refinement step) and certainty-balanced
 sampling (certainty-weighted stratified top-k rather than plain top-k),
 matching the published V2 behavioral changes at our backbone scale.
+
+Fidelity scope note (deliberate, documented): the real RoMaV2 internals
+(Parskatt/RoMaV2, released 2025) are unavailable in this snapshot — the
+third_party/RoMaV2 submodule is EMPTY and the design is not recoverable
+from the paper-level public record accessible offline, unlike RoMa v1
+whose DINOv2-L + GP + anchor-decoder stack matchers/roma.py now
+implements faithfully. Rebuilding a guessed layer stack would create a
+tree that silently mis-hosts ``romav2.pt``; this variant instead keeps
+an honest behavioral analog, and ``load_params`` raises loudly on any
+attempt to map the real checkpoint (utils/weights.load_params_auto
+contract), so first online contact flags — not corrupts — the gap.
 """
 
 import functools

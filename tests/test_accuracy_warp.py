@@ -148,8 +148,8 @@ def test_line_matching_structural():
     pred = api(rgb, shifted)
     assert "line_keypoints0_orig" in pred or "lines0_orig" in pred or \
         "lines0" in pred, sorted(pred)
-    lines0 = np.asarray(pred.get("lines0_orig", pred.get("lines0")))
-    lines1 = np.asarray(pred.get("lines1_orig", pred.get("lines1")))
+    lines0 = np.asarray(pred.get("lines0_orig", pred.get("lines0")))[0]
+    lines1 = np.asarray(pred.get("lines1_orig", pred.get("lines1")))[0]
     assert lines0.shape == lines1.shape
     assert len(lines0) >= 2, len(lines0)
     # matched line midpoints must agree up to the known 6 px shift
