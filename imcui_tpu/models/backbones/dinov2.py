@@ -120,8 +120,18 @@ def apply(params, image, cfg, normalize=True):
     tokens = x.reshape(hp * wp, dim)
     tokens = jnp.concatenate([params["cls_token"], tokens], 0)
     tokens = tokens + _interp_pos_embed(params["pos_embed"], hp, wp)
-    for p in params["blocks"]:
-        tokens = block_apply(p, tokens, c["num_heads"])
+    # blocks run as a lax.scan over stacked params: identical math to the
+    # Python loop, but the compiled HLO holds ONE block body instead of
+    # `depth` copies — at ViT-L scale the unrolled graph was large enough
+    # to break the remote-compile transport (and costs minutes of XLA
+    # time even when it succeeds)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *params["blocks"])
+
+    def body(tok, blk):
+        return block_apply(blk, tok, c["num_heads"]), None
+
+    tokens, _ = jax.lax.scan(body, tokens, stacked)
     tokens = layer_norm(params["norm"], tokens)
     return tokens[1:], (hp, wp)  # x_norm_patchtokens
 

@@ -103,14 +103,18 @@ def encode(params, image, conf):
     if rope is None:
         tokens = tokens + vit.sincos_pos_embed(hp, wp, tokens.shape[-1])
 
-    def step(blk, t):
+    def step(t, blk):
         return vit.encoder_block_apply(blk, t, conf["enc_heads"],
-                                       pos=pos, rope_base=rope)
+                                       pos=pos, rope_base=rope), None
 
     if conf.get("remat"):  # trade FLOPs for HBM on the ViT-L encoder
         step = jax.checkpoint(step)
-    for blk in params["enc_blocks"]:
-        tokens = step(blk, tokens)
+    # lax.scan over stacked blocks: one block body in the HLO instead of
+    # enc_depth copies (the unrolled ViT-L graph broke the axon
+    # remote-compile transport and costs minutes of XLA time)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *params["enc_blocks"])
+    tokens, _ = jax.lax.scan(step, tokens, stacked)
     return vit.layer_norm(params["enc_norm"], tokens), (hp, wp)
 
 
@@ -124,23 +128,29 @@ def decode(params, t0, t1, grid, conf):
     d1 = linear(params["decoder_embed"], t1)
     outs0, outs1 = [t0], [t1]
 
-    def step(b0, b1, d0, d1):
+    def step(carry, blks):
+        b0, b1 = blks
+        d0, d1 = carry
         d0n = vit.decoder_block_apply(b0, d0, d1, conf["dec_heads"],
                                       pos=pos, kpos=pos, rope_base=rope)
         d1n = vit.decoder_block_apply(b1, d1, d0, conf["dec_heads"],
                                       pos=pos, kpos=pos, rope_base=rope)
-        return d0n, d1n
+        return (d0n, d1n), (d0n, d1n)
 
     if conf.get("remat"):
         step = jax.checkpoint(step)
-    for b0, b1 in zip(params["dec_blocks"], params["dec_blocks2"]):
-        d0, d1 = step(b0, b1, d0, d1)
-        outs0.append(d0)
-        outs1.append(d1)
+    s0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                *params["dec_blocks"])
+    s1 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                *params["dec_blocks2"])
+    (_, _), (ys0, ys1) = jax.lax.scan(step, (d0, d1), (s0, s1))
+    # hooks: ys holds layer outputs 1..N; index 0 is the encoder output
+    idx = _hook_idx(conf["dec_depth"])
+    outs0 = [t0] + [ys0[i - 1] for i in idx[1:]]
+    outs1 = [t1] + [ys1[i - 1] for i in idx[1:]]
     outs0[-1] = vit.layer_norm(params["dec_norm"], outs0[-1])
     outs1[-1] = vit.layer_norm(params["dec_norm"], outs1[-1])
-    idx = _hook_idx(conf["dec_depth"])
-    return [outs0[i] for i in idx], [outs1[i] for i in idx]
+    return outs0, outs1
 
 
 def _postprocess(out):

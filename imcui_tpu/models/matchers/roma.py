@@ -282,8 +282,14 @@ def refiner_apply(p, cfg, f0, f1, warp, cert,
         ins.append(local_correlation(f0, f1, warp, cfg["r"]))
     x = jnp.concatenate(ins, -1)[None]
     x = _refiner_block(p["block1"], x, cfg["dw"])
-    for blk in p["hidden_blocks"]:
-        x = _refiner_block(blk, x, cfg["dw"])
+    # hidden blocks share shapes → lax.scan keeps the HLO one-body-deep
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *p["hidden_blocks"])
+
+    def body(h, blk):
+        return _refiner_block(blk, h, cfg["dw"]), None
+
+    x, _ = jax.lax.scan(body, x, stacked)
     out = conv2d(p["out_conv"], x)[0]
     # upstream Decoder.forward: flow += ins·Δ/(4·W_full) = Δ/(4·w_grid)
     dwarp = out[..., :2] * jnp.asarray([0.25 / w, 0.25 / h])
@@ -328,8 +334,12 @@ def match_gp(params, image0, image1, conf):
                           f1_16.reshape(hp * wp, -1), emb1)
     tokens = jnp.concatenate([gp_out, f0_16.reshape(hp * wp, -1)], -1)
     dec = params["embedding_decoder"]
-    for blk in dec["blocks"]:
-        tokens = vit_mod.encoder_block_apply(blk, tokens, DECODER_HEADS)
+    dec_stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *dec["blocks"])
+    tokens, _ = jax.lax.scan(
+        lambda t, blk: (vit_mod.encoder_block_apply(blk, t,
+                                                    DECODER_HEADS), None),
+        tokens, dec_stacked)
     out = linear(dec["to_out"], tokens)
     warp = cls_to_flow_refine(out[:, :-1]).reshape(hp, wp, 2)
     cert = out[:, -1].reshape(hp, wp)
