@@ -1080,3 +1080,101 @@ def test_aspanformer_soft_flow_parity():
     gy = (torch.arange(hc * wc) // wc).float()
     want = torch.stack([attn @ gx, attn @ gy], -1).numpy()
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# GlueStick: line message passing (gather → MLP → scatter-mean) and the
+# double-softmax line assignment, restated from cvg/GlueStick.
+# ---------------------------------------------------------------------------
+
+
+def test_gluestick_line_layer_and_double_softmax_parity():
+    import torch.nn.functional as F
+    from imcui_tpu.models.matchers import gluestick as gs
+
+    params = gs.init_gnn_params(jax.random.PRNGKey(36))
+    lp = params["gnn"]["line_layers"][0]
+    rng = np.random.default_rng(37)
+    t, n_lines, d = 10, 3, gs.D_MODEL
+    x = rng.normal(size=(t, d)).astype(np.float32)
+    line_enc = rng.normal(size=(2 * n_lines, d)).astype(np.float32)
+    # junction indices with a shared junction (two lines meet at token 4)
+    jidx = np.asarray([4, 5, 4, 7, 8, 9], np.int32)
+    mask = np.ones(n_lines, bool)
+
+    got = np.asarray(gs._line_message(
+        lp, jnp.asarray(x), jnp.asarray(line_enc), jnp.asarray(jidx),
+        jnp.asarray(mask)))
+
+    # torch restatement (upstream LineLayer.forward semantics)
+    xt = torch.from_numpy(x)
+    ep = xt[torch.from_numpy(jidx).long()]
+    other = ep.reshape(-1, 2, d).flip(1).reshape(2 * n_lines, d)
+    msg = torch.cat([ep, other, torch.from_numpy(line_enc)], -1)
+
+    def mlp(p, v, channels):
+        idx = 0
+        for i in range(1, len(channels)):
+            v = v @ _t(p[str(idx)]["w"]) + _t(p[str(idx)]["b"])
+            idx += 1
+            if i < len(channels) - 1:
+                bn = p[str(idx)]
+                v = F.batch_norm(v, _t(bn["mean"]), _t(bn["var"]),
+                                 _t(bn["scale"]), _t(bn["bias"]),
+                                 training=False)
+                v = F.relu(v)
+                idx += 2
+        return v
+
+    upd = mlp(lp["mlp"], msg, [3 * d, 2 * d, d])
+    want = torch.from_numpy(x).clone()
+    cnt = torch.zeros(t)
+    acc = torch.zeros(t, d)
+    for e, j in enumerate(jidx):
+        acc[j] += upd[e]
+        cnt[j] += 1
+    want = want + acc / cnt.clamp(min=1.0)[:, None]
+    np.testing.assert_allclose(got, want.numpy(), atol=5e-4, rtol=1e-3)
+
+    # double softmax line assignment
+    raw = rng.normal(size=(4, 5)).astype(np.float32)
+    z = np.asarray(gs.log_double_softmax(jnp.asarray(raw),
+                                         jnp.asarray(1.3)))
+    s = torch.from_numpy(raw)
+    b = torch.tensor(1.3)
+    s0 = F.log_softmax(torch.cat([s, b.expand(4, 1)], 1), 1)
+    s1 = F.log_softmax(torch.cat([s, b.expand(1, 5)], 0), 0)
+    want = torch.zeros(5, 6)
+    want[:4, :5] = (s0[:, :5] + s1[:4, :]) / 2
+    want[:4, 5] = s0[:, 5]
+    want[4, :5] = s1[4, :]
+    np.testing.assert_allclose(z, want.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_gluestick_endpoint_encoder_parity():
+    """lenc input layout: (x, y, dx→partner, dy→partner, line score)."""
+    from imcui_tpu.models.matchers import gluestick as gs
+    from imcui_tpu.models.matchers.superglue import (mlp_apply,
+                                                     normalize_keypoints)
+
+    params = gs.init_gnn_params(jax.random.PRNGKey(38))
+    rng = np.random.default_rng(39)
+    lines = rng.uniform(0, 100, size=(3, 2, 2)).astype(np.float32)
+    lscore = rng.uniform(size=3).astype(np.float32)
+    size = jnp.asarray([128.0, 96.0])
+
+    ep = normalize_keypoints(jnp.asarray(lines.reshape(-1, 2)), size)
+    e2 = ep.reshape(-1, 2, 2)
+    off = (e2[:, ::-1] - e2).reshape(-1, 2)
+    lenc_in = jnp.concatenate(
+        [ep, off, jnp.repeat(jnp.asarray(lscore), 2)[:, None]], -1)
+    got = np.asarray(lenc_in)
+
+    # endpoint pairs carry opposite offset vectors, same line score
+    np.testing.assert_allclose(got[0, 2:4], -got[1, 2:4], atol=1e-6)
+    assert got.shape == (6, 5)
+    np.testing.assert_allclose(got[2, 4], lscore[1], atol=1e-6)
+    # and the encoder consumes it (shape contract)
+    out = mlp_apply(params["lenc"]["encoder"], lenc_in,
+                    [5] + gs.KENC_LAYERS + [gs.D_MODEL])
+    assert out.shape == (6, gs.D_MODEL)
