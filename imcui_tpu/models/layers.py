@@ -28,6 +28,11 @@ def conv2d(p, x, stride=1, padding="SAME", dilation=1, groups=1):
     two conventions agree at stride 1 with odd kernels)."""
     s = (stride, stride) if isinstance(stride, int) else stride
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    if x.dtype != p["w"].dtype:
+        # the weight dtype is the precision policy: a bf16-cast param tree
+        # makes the whole conv path bf16 even where an upstream op (f32
+        # image normalisation, f32 LN statistics) re-upcast the activation
+        x = x.astype(p["w"].dtype)
     if padding == "SAME":
         kh, kw = p["w"].shape[:2]
         eh = (kh - 1) * d[0] + 1

@@ -1178,3 +1178,130 @@ def test_gluestick_endpoint_encoder_parity():
     out = mlp_apply(params["lenc"]["encoder"], lenc_in,
                     [5] + gs.KENC_LAYERS + [gs.D_MODEL])
     assert out.shape == (6, gs.D_MODEL)
+
+
+# ---------------------------------------------------------------------------
+# torch_interpolate: ops/resize.py vs F.interpolate for every mode the
+# DeDoDe decoder accumulation uses (bicubic a=-0.75 + replicate clamp is
+# NOT jax.image.resize's cubic), plus align_corners variants.
+# ---------------------------------------------------------------------------
+
+
+def test_torch_interpolate_parity():
+    import torch.nn.functional as F
+    from imcui_tpu.ops.resize import torch_interpolate
+
+    rng = np.random.default_rng(40)
+    x = rng.normal(size=(2, 7, 9, 3)).astype(np.float32)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    cases = [
+        ("bicubic", (14, 18), False), ("bicubic", (5, 4), False),
+        ("bicubic", (13, 27), True),
+        ("bilinear", (14, 18), False), ("bilinear", (10, 5), True),
+        ("nearest", (14, 18), None), ("nearest", (3, 4), None),
+    ]
+    for mode, size, ac in cases:
+        got = np.asarray(torch_interpolate(
+            jnp.asarray(x), size, mode, bool(ac)))
+        kw = {} if ac is None else {"align_corners": ac}
+        want = F.interpolate(xt, size=size, mode=mode, **kw) \
+            .permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"{mode} {size} ac={ac}")
+
+
+# ---------------------------------------------------------------------------
+# DeDoDe: VGG19-BN encoder walk, residual ConvRefiner, cross-scale
+# prototype accumulation (bicubic) + context propagation (bilinear), and
+# the coverage re-weighting — restated from Parskatt/DeDoDe.
+# ---------------------------------------------------------------------------
+
+
+def test_dedode_vgg19_parity():
+    import torch.nn.functional as F
+    from imcui_tpu.models.extractors import dedode
+
+    enc = dedode.init_vgg19(jax.random.PRNGKey(41))
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(1, 16, 24, 3)).astype(np.float32)
+
+    feats = dedode.vgg19_apply(enc, jnp.asarray(x))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = {}
+    stride = 1
+    for kind, idx, _, _ in dedode.VGG19_BN:
+        if kind == "pool":
+            want[stride] = xt
+            if stride < 8:
+                xt = F.max_pool2d(xt, 2, 2)
+            stride *= 2
+        else:
+            xt = F.relu(_tbn(enc["layers"][str(idx + 1)],
+                             _tconv(enc["layers"][str(idx)], xt)))
+    assert set(feats) == {1, 2, 4, 8}
+    for s, w in want.items():
+        np.testing.assert_allclose(
+            np.asarray(feats[s])[0], w[0].permute(1, 2, 0).numpy(),
+            atol=5e-4, rtol=1e-3, err_msg=f"stride {s}")
+
+
+def test_dedode_decoder_accumulation_parity():
+    import torch.nn.functional as F
+    from imcui_tpu.models.extractors import dedode
+
+    P = 2
+    refiners = {"8": (6, 8, 4), "4": (8, 8, 2), "2": (6, 4, 2),
+                "1": (6, 4, 0)}
+    dec = dedode.init_decoder(jax.random.PRNGKey(43), refiners, 3, P)
+    rng = np.random.default_rng(44)
+    feats = {8: rng.normal(size=(1, 2, 3, 6)).astype(np.float32),
+             4: rng.normal(size=(1, 4, 6, 4)).astype(np.float32),
+             2: rng.normal(size=(1, 8, 12, 4)).astype(np.float32),
+             1: rng.normal(size=(1, 16, 24, 4)).astype(np.float32)}
+
+    got = np.asarray(dedode.decoder_apply(
+        dec, {s: jnp.asarray(f) for s, f in feats.items()}, P))
+
+    def refine(p, x):
+        def block(blk, v):
+            v = F.relu(_tbn(blk["1"], _tconv(blk["0"], v)))
+            return _tconv(blk["3"], v, pad=0)
+        x = block(p["block1"], x)
+        for blk in p["hidden_blocks"]:
+            x = x + block(blk, x)                 # residual hidden stack
+        return _tconv(p["out_conv"], x, pad=0)
+
+    acc, ctx = None, None
+    for scale in ("8", "4", "2", "1"):
+        f = torch.from_numpy(feats[int(scale)]).permute(0, 3, 1, 2)
+        x = f if ctx is None else torch.cat([f, ctx], 1)
+        out = refine(dec["layers"][scale], x)
+        delta, ctx = out[:, :P], out[:, P:]
+        acc = delta if acc is None else acc + delta
+        if scale != "1":
+            nh, nw = feats[int(scale) // 2].shape[1:3]
+            acc = F.interpolate(acc, size=(nh, nw), mode="bicubic",
+                                align_corners=False)
+            ctx = F.interpolate(ctx, size=(nh, nw), mode="bilinear",
+                                align_corners=False)
+    np.testing.assert_allclose(got, acc.permute(0, 2, 3, 1).numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_dedode_coverage_reweight_parity():
+    import torch.nn.functional as F
+    from imcui_tpu.models.extractors import dedode
+
+    rng = np.random.default_rng(45)
+    p = rng.uniform(size=(20, 30)).astype(np.float32)
+    p /= p.sum()
+
+    got = np.asarray(dedode.coverage_reweight(jnp.asarray(p)))
+
+    w = (-torch.linspace(-2, 2, steps=51) ** 2).exp()
+    pt = torch.from_numpy(p)[None, None] + 1e-6
+    dx = F.conv2d(pt, w.reshape(1, 1, 1, 51), padding=(0, 25))
+    d = F.conv2d(dx, w.reshape(1, 1, 51, 1), padding=(25, 0))[0, 0]
+    want = torch.from_numpy(p) * (d + 1e-6) ** (-0.5)
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-5, rtol=1e-3)
