@@ -26,11 +26,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _bench(step, iters, warmup, batch, label, extra=None):
+def _bench(step, params, iters, warmup, batch, label, extra=None):
+    # params MUST be a jit argument, not a closure: closed-over trees
+    # inline as HLO literals through the nested jit (a ViT-L's 600 MB of
+    # weights made the compile payload exceed the axon tunnel's upload
+    # limit — HTTP 413)
     for i in range(warmup):
-        jax.block_until_ready(step(jax.random.PRNGKey(10_000 + i)))
+        jax.block_until_ready(step(params, jax.random.PRNGKey(10_000 + i)))
     t0 = time.perf_counter()
-    accs = [step(jax.random.PRNGKey(i)) for i in range(iters)]
+    accs = [step(params, jax.random.PRNGKey(i)) for i in range(iters)]
     jax.block_until_ready(accs)
     dt = time.perf_counter() - t0
     res = {"metric": label, "value": round(batch * iters / dt, 3),
@@ -62,7 +66,7 @@ def bench_loftr(bf16=False):
     wh = jnp.tile(jnp.asarray([[W, H]], jnp.int32), (B, 1))
 
     @jax.jit
-    def step(key):
+    def step(params, key):
         k0, k1 = jax.random.split(key)
         dt = jnp.bfloat16 if bf16 else jnp.float32
         i0 = jax.random.uniform(k0, (B, H, W, 1), dt)
@@ -70,7 +74,7 @@ def bench_loftr(bf16=False):
         out = loftr._apply_batched(params, i0, i1, wh, wh, conf_key)
         return out["scores"].astype(jnp.float32).sum()
 
-    _bench(step, 40, 3, B, f"pairs/s/chip LoFTR@640x480"
+    _bench(step, params, 40, 3, B, f"pairs/s/chip LoFTR@640x480"
            + ("(bf16)" if bf16 else ""))
 
 
@@ -85,7 +89,7 @@ def bench_roma(bf16=False, batch=1):
     conf_key = (("dinov2_variant", "vitl14"),)
 
     @jax.jit
-    def step(key):
+    def step(params, key):
         k0, k1 = jax.random.split(key)
         dt = jnp.bfloat16 if bf16 else jnp.float32
         i0 = jax.random.uniform(k0, (B, R, R, 3), dt)
@@ -93,7 +97,7 @@ def bench_roma(bf16=False, batch=1):
         out = roma._apply_batched(params, i0, i1, 2048, conf_key)
         return out["scores"].astype(jnp.float32).sum()
 
-    _bench(step, 20, 2, B,
+    _bench(step, params, 20, 2, B,
            "pairs/s/chip RoMa(DINOv2-L+GP)@560"
            + ("(bf16)" if bf16 else "") + f"@B{B}")
 
@@ -113,7 +117,7 @@ def bench_duster(bf16=False, batch=1):
           "pos_embed", "head_type")}.items()))
 
     @jax.jit
-    def step(key):
+    def step(params, key):
         k0, k1 = jax.random.split(key)
         dt = jnp.bfloat16 if bf16 else jnp.float32
         i0 = jax.random.uniform(k0, (B, R, R, 3), dt) * 2 - 1
@@ -121,7 +125,7 @@ def bench_duster(bf16=False, batch=1):
         out = duster._apply_batched(params, i0, i1, conf_key)
         return out["scores"].astype(jnp.float32).sum()
 
-    _bench(step, 20, 2, B,
+    _bench(step, params, 20, 2, B,
            "pairs/s/chip DUSt3R(ViT-L,dpt)@512"
            + ("(bf16)" if bf16 else "") + f"@B{B}")
 
