@@ -11,8 +11,12 @@ Measurement design (hard-won on the axon tunnel):
   remote-execution stack and report fantasy numbers (~70× too high), and
   host→device upload through the dev tunnel measures the tunnel, not the
   chip;
-- every iteration's outputs are reduced to a scalar that is blocked on at
-  the end, so no work can be elided.
+- iterations are CHAINED through a scalar accumulator and the final
+  value is fetched to host (utils/benchmark.chain_bench): round 3 found
+  that jax.block_until_ready can return without waiting on some
+  compiled programs through this transport (a scan-heavy ViT-L forward
+  "ran" 80 iters in 0.11 s), so a value fetch is the only trusted
+  synchronisation point; the chain also prevents any work elision.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -24,10 +28,11 @@ value / 50.
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
+
+from imcui_tpu.utils.benchmark import chain_bench
 
 A100_REFERENCE_PAIRS_PER_SEC = 50.0
 
@@ -45,8 +50,7 @@ def main():
     params, meta = two_view.load_pretrained(n_layers=N_LAYERS)
     valid = jnp.tile(jnp.asarray([[W, H]], jnp.int32), (BATCH, 1))
 
-    @jax.jit
-    def step(params, key):
+    def step(params, key, acc):
         k0, k1, k2 = jax.random.split(key, 3)
         image0 = jax.random.uniform(k0, (BATCH, 1, H, W), jnp.float32)
         image1 = jax.random.uniform(k1, (BATCH, 1, H, W), jnp.float32)
@@ -55,15 +59,9 @@ def main():
             max_keypoints=MAX_KPTS, n_layers=N_LAYERS,
             num_hypotheses=512, ransac="fundamental",
         )
-        return out["matching_scores0"].sum() + out["num_inliers"].sum()
+        return acc + out["matching_scores0"].sum() + out["num_inliers"].sum()
 
-    for i in range(WARMUP):
-        jax.block_until_ready(step(params, jax.random.PRNGKey(10_000 + i)))
-
-    t0 = time.perf_counter()
-    accs = [step(params, jax.random.PRNGKey(i)) for i in range(ITERS)]
-    jax.block_until_ready(accs)
-    dt = time.perf_counter() - t0
+    dt, _ = chain_bench(step, params, iters=ITERS, warmup=WARMUP)
 
     pairs_per_sec = BATCH * ITERS / dt
     print(

@@ -8,8 +8,9 @@ Measures pairs/s/chip on the real TPU for:
      reciprocal 3-D NN
 
 Measurement rules (BASELINE.md "Measurement hazards"): inputs generated
-ON DEVICE per iteration from distinct PRNG keys, outputs reduced to
-scalars, one block at the end. Random weights — shape-bound throughput.
+ON DEVICE per iteration from distinct PRNG keys, iterations chained
+through a scalar accumulator, final value fetched to host
+(utils/benchmark.chain_bench). Random weights — shape-bound throughput.
 
 Usage: python tools/bench_heavy.py [loftr|roma|duster|all] [--bf16]
 Writes one JSON line per config (appends to BASELINE_heavy.jsonl).
@@ -18,25 +19,24 @@ Writes one JSON line per config (appends to BASELINE_heavy.jsonl).
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+from imcui_tpu.utils.benchmark import chain_bench
+
 
 def _bench(step, params, iters, warmup, batch, label, extra=None):
     # params MUST be a jit argument, not a closure: closed-over trees
     # inline as HLO literals through the nested jit (a ViT-L's 600 MB of
     # weights made the compile payload exceed the axon tunnel's upload
-    # limit — HTTP 413)
-    for i in range(warmup):
-        jax.block_until_ready(step(params, jax.random.PRNGKey(10_000 + i)))
-    t0 = time.perf_counter()
-    accs = [step(params, jax.random.PRNGKey(i)) for i in range(iters)]
-    jax.block_until_ready(accs)
-    dt = time.perf_counter() - t0
+    # limit — HTTP 413). step signature: (params, key, acc) -> acc;
+    # chain_bench serialises iterations through the accumulator and
+    # fetches the final value (block_until_ready lies on some graphs —
+    # the original DUSt3R row here read 485 pairs/s, 17x reality).
+    dt, _ = chain_bench(step, params, iters, warmup)
     res = {"metric": label, "value": round(batch * iters / dt, 3),
            "unit": "pairs/s", "iters": iters, "batch": batch,
            "ms_per_pair": round(1000 * dt / (batch * iters), 2)}
@@ -65,14 +65,13 @@ def bench_loftr(bf16=False):
                 ("temperature", 0.1))
     wh = jnp.tile(jnp.asarray([[W, H]], jnp.int32), (B, 1))
 
-    @jax.jit
-    def step(params, key):
+    def step(params, key, acc):
         k0, k1 = jax.random.split(key)
         dt = jnp.bfloat16 if bf16 else jnp.float32
         i0 = jax.random.uniform(k0, (B, H, W, 1), dt)
         i1 = jax.random.uniform(k1, (B, H, W, 1), dt)
         out = loftr._apply_batched(params, i0, i1, wh, wh, conf_key)
-        return out["scores"].astype(jnp.float32).sum()
+        return acc + out["scores"].astype(jnp.float32).sum()
 
     _bench(step, params, 40, 3, B, f"pairs/s/chip LoFTR@640x480"
            + ("(bf16)" if bf16 else ""))
@@ -88,14 +87,13 @@ def bench_roma(bf16=False, batch=1):
         params = _cast_bf16(params)
     conf_key = (("dinov2_variant", "vitl14"),)
 
-    @jax.jit
-    def step(params, key):
+    def step(params, key, acc):
         k0, k1 = jax.random.split(key)
         dt = jnp.bfloat16 if bf16 else jnp.float32
         i0 = jax.random.uniform(k0, (B, R, R, 3), dt)
         i1 = jax.random.uniform(k1, (B, R, R, 3), dt)
         out = roma._apply_batched(params, i0, i1, 2048, conf_key)
-        return out["scores"].astype(jnp.float32).sum()
+        return acc + out["scores"].astype(jnp.float32).sum()
 
     _bench(step, params, 20, 2, B,
            "pairs/s/chip RoMa(DINOv2-L+GP)@560"
@@ -116,14 +114,14 @@ def bench_duster(bf16=False, batch=1):
           "dec_heads", "patch", "max_matches", "subsample",
           "pos_embed", "head_type")}.items()))
 
-    @jax.jit
-    def step(params, key):
+    def step(params, key, acc):
         k0, k1 = jax.random.split(key)
         dt = jnp.bfloat16 if bf16 else jnp.float32
         i0 = jax.random.uniform(k0, (B, R, R, 3), dt) * 2 - 1
         i1 = jax.random.uniform(k1, (B, R, R, 3), dt) * 2 - 1
         out = duster._apply_batched(params, i0, i1, conf_key)
-        return out["scores"].astype(jnp.float32).sum()
+        return (acc + out["scores"].astype(jnp.float32).sum()
+                + out["keypoints0"].astype(jnp.float32).sum())
 
     _bench(step, params, 20, 2, B,
            "pairs/s/chip DUSt3R(ViT-L,dpt)@512"
