@@ -28,6 +28,7 @@ from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
 from ...utils.weights import (assert_tree_matches, download_checkpoint,
                               load_state_dict, state_dict_to_tree)
+from ...ops import pallas_nms
 from .. import layers
 from ..layers import conv2d, init_conv, max_pool, relu
 
@@ -188,20 +189,32 @@ def apply(
 
     h, w = heat.shape[-2:]
 
-    def per_image(scores, dmap, vwh):
-        scores = nms_ops.simple_nms(scores, nms_radius)
-        scores = scores * nms_ops.border_mask(
-            h, w, remove_borders, valid_wh=vwh, dtype=scores.dtype
-        )
-        kpts, kscores, mask = nms_ops.select_topk_keypoints(
-            scores, max_keypoints, keypoint_threshold
-        )
-        desc = nms_ops.sample_descriptors(
-            kpts, dmap.transpose(2, 0, 1), s=8
-        )  # (256, N)
-        return kpts, kscores, desc, mask
+    if precision == "bf16" and pallas_nms.supported(h, w, nms_radius):
+        # fused single-pass NMS + 4×4 cell reduction (ops/pallas_nms.py):
+        # replaces ~10 full-res reduce_window passes + a 1M-element
+        # approx_max_k with one heatmap read and a 16×-smaller top-k
+        kpts, kscores, mask = pallas_nms.select_keypoints(
+            heat, valid_wh, max_keypoints, keypoint_threshold,
+            radius=nms_radius, border=remove_borders)
+        desc = jax.vmap(
+            lambda kp, dm: nms_ops.sample_descriptors(
+                kp, dm.transpose(2, 0, 1), s=8))(kpts, desc_map)
+    else:
+        def per_image(scores, dmap, vwh):
+            scores = nms_ops.simple_nms(scores, nms_radius)
+            scores = scores * nms_ops.border_mask(
+                h, w, remove_borders, valid_wh=vwh, dtype=scores.dtype
+            )
+            kpts, kscores, mask = nms_ops.select_topk_keypoints(
+                scores, max_keypoints, keypoint_threshold
+            )
+            desc = nms_ops.sample_descriptors(
+                kpts, dmap.transpose(2, 0, 1), s=8
+            )  # (256, N)
+            return kpts, kscores, desc, mask
 
-    kpts, kscores, desc, mask = jax.vmap(per_image)(heat, desc_map, valid_wh)
+        kpts, kscores, desc, mask = jax.vmap(per_image)(heat, desc_map,
+                                                        valid_wh)
     return {
         "keypoints": kpts,
         "scores": kscores.astype(jnp.float32),

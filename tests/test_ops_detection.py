@@ -82,3 +82,37 @@ def test_soft_argmax_refinement_shifts_toward_mass():
                                                 radius=2))
     assert 0.3 < ref[0, 0] - 10.0 < 0.7
     assert abs(ref[0, 1] - 10.0) < 1e-5
+
+
+def test_pallas_nms_cellmax_matches_xla_chain():
+    """ops/pallas_nms.py (interpret mode) vs the XLA postproc chain:
+    per-4x4-cell NMS'd max + in-cell argmax must match simple_nms ->
+    border/valid mask exactly (score ties may legitimately resolve to a
+    different member of the tie - same class approx_max_k accepts)."""
+    from imcui_tpu.ops import pallas_nms
+
+    B, H, W = 2, 128, 256
+    rng = np.random.default_rng(7)
+    heat = jnp.asarray(rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+                       ).astype(jnp.bfloat16)
+    valid_wh = jnp.asarray([[W, H], [200, 100]], jnp.int32)
+
+    cmax, csub = pallas_nms.nms_cellmax(heat, valid_wh, radius=4,
+                                        border=4, interpret=True)
+    cmax, csub = np.asarray(cmax), np.asarray(csub)
+
+    for b in range(B):
+        s = nms.simple_nms(heat[b].astype(jnp.float32), 4)
+        s = s * nms.border_mask(H, W, 4, valid_wh=valid_wh[b],
+                                dtype=s.dtype)
+        s = np.asarray(s)
+        ref = s.reshape(H // 4, 4, W // 4, 4).transpose(0, 2, 1, 3)
+        ref = ref.reshape(H // 4, W // 4, 16)
+        rmax, rarg = ref.max(-1), ref.argmax(-1)
+        np.testing.assert_allclose(cmax[b], rmax, atol=0)
+        sel = rmax > 0
+        # positions must agree except where the cell holds an exact tie
+        disagree = (rarg != csub[b]) & sel
+        for cy, cx in np.argwhere(disagree):
+            got = ref[cy, cx, int(csub[b][cy, cx])]
+            assert got == rmax[cy, cx], (cy, cx)
