@@ -24,6 +24,7 @@ mlp.fc1,mlp.fc2,ls2.gamma}, norm) map 1:1 onto this tree —
 import jax
 import jax.numpy as jnp
 
+from ...ops.attention import mha_auto
 from ..layers import (conv2d, gelu, init_conv, init_layer_norm, init_linear,
                       layer_norm, linear)
 
@@ -89,11 +90,9 @@ def _attn(p, x, num_heads):
     dh = d // num_heads
     qkv = linear(p["qkv"], x).reshape(n, 3, num_heads, dh)
     q, k, v = (qkv[:, i].transpose(1, 0, 2) for i in range(3))
-    logits = jnp.einsum("hnd,hmd->hnm", q, k,
-                        preferred_element_type=jnp.float32) / dh ** 0.5
-    attn = jax.nn.softmax(logits, -1)
-    out = jnp.einsum("hnm,hmd->hnd", attn.astype(x.dtype), v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    # fused VMEM attention on TPU, XLA einsum fallback elsewhere; the
+    # 1601-token 560²/14 grid pads to 1664 inside mha_auto
+    out = mha_auto(q, k, v).astype(x.dtype)
     return linear(p["proj"], out.transpose(1, 0, 2).reshape(n, d))
 
 

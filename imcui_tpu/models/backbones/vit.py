@@ -91,10 +91,17 @@ def attention_apply(p, x, num_heads, context=None, pos=None, kpos=None,
     if rope_base is not None and pos is not None:
         q = rope_2d(q, pos, rope_base)
         k = rope_2d(k, kpos if kpos is not None else pos, rope_base)
+    # Measured r3 (tools/try_vit_attn.py): at the CroCo/DUSt3R token
+    # count (1024, dh 64) the VMEM fused kernel wins isolated (0.32 vs
+    # 0.37 ms) but LOSES end-to-end (34.4 → 48.8 ms/pair) — the pallas
+    # call is a fusion barrier that forces q/k/v/out HBM round-trips XLA
+    # otherwise fuses into the block. Keep the XLA einsum here; the
+    # fused path pays off only at DINOv2's 1664-token grids
+    # (backbones/dinov2.py, 163→154 ms/pair e2e).
     logits = jnp.einsum("hnd,hmd->hnm", q, k,
                         preferred_element_type=jnp.float32) / dh**0.5
     attn = jax.nn.softmax(logits, -1)
-    out = jnp.einsum("hnm,hmd->hnd", attn, v.astype(jnp.float32),
+    out = jnp.einsum("hnm,hmd->hnd", attn.astype(x.dtype), v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     return linear(p["proj"], out.transpose(1, 0, 2).reshape(n, d))
 

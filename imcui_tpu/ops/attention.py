@@ -236,6 +236,28 @@ def fused_attention_small(q, k, v, mask_k=None):
     )(q, k, v, maskf)
 
 
+def mha_auto(q, k, v):
+    """Unmasked MHA for ViT-class blocks: routes to the VMEM-resident
+    fused kernel when the shape lattice allows, padding the token axes
+    up to the 128 lattice with a key mask (a DINOv2 560²/14 grid is
+    1601 tokens with the cls token → padded to 1664, +4% work for an
+    HBM-logits-free pass). Falls back to the XLA einsum path off-TPU or
+    when K/V exceed the single-shot VMEM budget."""
+    h, nq, dh = q.shape
+    nk = k.shape[1]
+    nq_p = -(-nq // 128) * 128
+    nk_p = -(-nk // 128) * 128
+    if (pl is None or jax.default_backend() != "tpu" or dh % 64
+            or nk_p > 2048):
+        return mha(q, k, v)
+    qp = jnp.pad(q, ((0, 0), (0, nq_p - nq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, nk_p - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, nk_p - nk), (0, 0)))
+    mask = jnp.arange(nk_p) < nk if nk_p != nk else None
+    out = fused_attention_small(qp, kp, vp, mask_k=mask)
+    return out[:, :nq] if nq_p != nq else out
+
+
 def _bidir_attn_kernel(a0_ref, a1_ref, v0_ref, v1_ref, m0_ref, m1_ref,
                        o0_ref, o1_ref, *, scale):
     a0 = a0_ref[0]
