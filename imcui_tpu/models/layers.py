@@ -52,6 +52,34 @@ def conv2d(p, x, stride=1, padding="SAME", dilation=1, groups=1):
     return out
 
 
+def depthwise_conv(p, x):
+    """Depthwise k×k stride-1 conv as shift-and-accumulate.
+
+    p: {"w": (kh, kw, 1, C), "b": (C,)?}; x: (B, H, W, C). Same math as
+    ``conv2d(p, x, groups=C)`` with torch-SAME padding, but lowered as
+    k² fused multiply-adds instead of a feature_group_count=C
+    convolution — XLA serialises high-group-count convs on TPU (measured
+    r2: group-serial lowering 15.8 vs 8.6 ms; r3: RoMa's 9-deep
+    1377-group refiner stacks dominated the 154 ms pair time). Products
+    are taken in the weight dtype, accumulation in f32.
+    """
+    kh, kw, _, c = p["w"].shape
+    b, h, w, _ = x.shape
+    if x.dtype != p["w"].dtype:
+        x = x.astype(p["w"].dtype)
+    xp = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2),
+                     (0, 0)))
+    acc = jnp.zeros((b, h, w, c), jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            acc = acc + (xp[:, i:i + h, j:j + w] * p["w"][i, j, 0]
+                         ).astype(jnp.float32)
+    out = acc.astype(x.dtype)
+    if "b" in p and p["b"] is not None:
+        out = out + p["b"]
+    return out
+
+
 def linear(p, x):
     """p: {"w": (din, dout), "b": (dout,)?}; x: (..., din)."""
     out = x @ p["w"]

@@ -50,9 +50,9 @@ from ...utils.weights import (download_checkpoint, load_params_auto,
                               load_state_dict)
 from ..backbones import dinov2, vgg
 from ..backbones import vit as vit_mod
-from ..layers import (batch_norm_inference, conv2d, init_conv,
-                      init_layer_norm, init_linear, layer_norm, linear,
-                      relu)
+from ..layers import (batch_norm_inference, conv2d, depthwise_conv,
+                      init_conv, init_layer_norm, init_linear, layer_norm,
+                      linear, relu)
 from . import loftr as loftr_mod
 
 # ---------------------------------------------------------------------------
@@ -256,10 +256,13 @@ def local_correlation(f0, f1, warp, r):
 
 
 def _refiner_block(blk, x, dw):
-    """Upstream create_block: 5×5 grouped conv → BN → ReLU → 1×1 conv."""
-    groups = x.shape[-1] if dw else 1
-    y = relu(batch_norm_inference(blk["1"],
-                                  conv2d(blk["0"], x, groups=groups)))
+    """Upstream create_block: 5×5 grouped conv → BN → ReLU → 1×1 conv.
+    The depthwise 5×5 runs as shift-and-accumulate (layers.
+    depthwise_conv): XLA's feature_group_count lowering serialises over
+    the ~1400 groups and made the refiner pyramid ~100 of RoMa's 154
+    ms/pair (r3 profile)."""
+    y = depthwise_conv(blk["0"], x) if dw else conv2d(blk["0"], x)
+    y = relu(batch_norm_inference(blk["1"], y))
     return conv2d(blk["3"], y)
 
 
