@@ -240,7 +240,112 @@ def bilinear_warp(feat, warp):
 
 def local_correlation(f0, f1, warp, r):
     """(2r+1)² local correlation: f0[p] · f1[warp(p) + δ] for δ in the
-    (2r+1)² neighbourhood (in f1-grid units). Vectorised over offsets."""
+    (2r+1)² neighbourhood (in f1-grid units).
+
+    Two exact formulations (r3 measurement, tools/try_refiner_parts.py):
+    - coarse grids (h·w ≤ 6400, scales 16/8): ONE all-pairs MXU matmul
+      C = F0·F1ᵀ, then scalar bilinear interpolation of C — linearity of
+      the dot product moves the interpolation outside the channel dim,
+      so the (2r+2)² integer taps gather SCALARS instead of d-vectors
+      (30.1 → 18.9 ms at scale 16, 22.4 → 13.3 at scale 8);
+    - fine grids: per-offset bilinear feature gathers (the all-pairs
+      matrix would be ≥1.5 GB at scale 4).
+    """
+    h, w, d = f0.shape
+    if h * w <= 6400:
+        return _local_correlation_mxu(f0, f1, warp, r)
+    return _local_correlation_int_taps(f0, f1, warp, r)
+
+
+def _warp_corners(warp, h, w):
+    """torch unnormalize (align_corners=False) → integer corner + frac."""
+    hw = h * w
+    px = ((warp[..., 0].astype(jnp.float32) + 1.0) * w - 1.0) * 0.5
+    py = ((warp[..., 1].astype(jnp.float32) + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = (px - x0).reshape(hw)
+    ty = (py - y0).reshape(hw)
+    return (x0.astype(jnp.int32).reshape(hw),
+            y0.astype(jnp.int32).reshape(hw), tx, ty)
+
+
+def _interp_taps(taps, ty, tx, r):
+    """Bilinear-combine scalar integer-tap correlations into the
+    (2r+1)² offset outputs (row-major over (dy, dx), matching the
+    gather path's offset ordering)."""
+    outs = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            v = ((1 - ty) * ((1 - tx) * taps[(dy, dx)]
+                             + tx * taps[(dy, dx + 1)])
+                 + ty * ((1 - tx) * taps[(dy + 1, dx)]
+                         + tx * taps[(dy + 1, dx + 1)]))
+            outs.append(v)
+    return outs
+
+
+def _local_correlation_mxu(f0, f1, warp, r):
+    """All-pairs-then-interpolate local correlation (exact rewrite of
+    the gather path — grid_sample(align_corners=False, zeros) semantics
+    reproduced on the scalar correlation surface)."""
+    h, w, d = f0.shape
+    hw = h * w
+    corr_all = jax.lax.dot_general(
+        f0.reshape(hw, d), f1.reshape(hw, d),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(jnp.float32(d))                        # (hw_p, hw_q)
+
+    x0, y0, tx, ty = _warp_corners(warp, h, w)
+
+    # integer taps dy', dx' ∈ [-r, r+1] cover every bilinear corner of
+    # every offset in [-r, r]
+    taps = {}
+    for dyp in range(-r, r + 2):
+        for dxp in range(-r, r + 2):
+            yy = y0 + dyp
+            xx = x0 + dxp
+            ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            q = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+            v = jnp.take_along_axis(corr_all, q[:, None], axis=1)[:, 0]
+            taps[(dyp, dxp)] = jnp.where(ok, v, 0.0)
+
+    outs = _interp_taps(taps, ty, tx, r)
+    return jnp.stack(outs, -1).reshape(h, w, (2 * r + 1) ** 2)
+
+
+def _local_correlation_int_taps(f0, f1, warp, r):
+    """Fine-scale variant: gather FEATURE vectors at the (2r+2)²
+    integer taps (no per-corner bilinear feature interpolation — the
+    interpolation happens on the scalar correlations), cutting gather
+    traffic ~2.8× vs the per-offset grid_sample formulation."""
+    h, w, d = f0.shape
+    hw = h * w
+    f0f = f0.reshape(hw, d)
+    f1f = f1.reshape(hw, d)
+    x0, y0, tx, ty = _warp_corners(warp, h, w)
+
+    taps = {}
+    for dyp in range(-r, r + 2):
+        for dxp in range(-r, r + 2):
+            yy = y0 + dyp
+            xx = x0 + dxp
+            ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            q = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+            s = jnp.take(f1f, q, axis=0)                # (hw, d)
+            v = (f0f.astype(jnp.float32)
+                 * s.astype(jnp.float32)).sum(-1) / jnp.sqrt(
+                     jnp.float32(d))
+            taps[(dyp, dxp)] = jnp.where(ok, v, 0.0)
+
+    outs = _interp_taps(taps, ty, tx, r)
+    return jnp.stack(outs, -1).reshape(h, w, (2 * r + 1) ** 2)
+
+
+def _local_correlation_gather(f0, f1, warp, r):
+    """Reference formulation (kept for tests): per-offset bilinear
+    feature samples via grid_sample."""
     h, w, d = f0.shape
     dy, dx = jnp.meshgrid(jnp.arange(-r, r + 1), jnp.arange(-r, r + 1),
                           indexing="ij")

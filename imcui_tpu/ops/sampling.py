@@ -68,13 +68,21 @@ def grid_sample(fmap, grid, mode="bilinear", align_corners=False):
     else:
         raise ValueError(f"unknown mode {mode}")
 
+    # taps gather ROWS of the flattened map (one 1-D index vector):
+    # the 2-D advanced-indexing form lowers to a slower two-coordinate
+    # gather on TPU (measured on the RoMa refiner pyramid, r3)
+    lead = ix.shape
+    fflat = fmap.reshape(h * w, -1)
     out = 0.0
     for j in range(taps):
         for i in range(taps):
             xi = x0 + (i - r)
             yi = y0 + (j - r)
             inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-            val = fmap[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+            q = (jnp.clip(yi, 0, h - 1) * w
+                 + jnp.clip(xi, 0, w - 1)).reshape(-1)
+            val = jnp.take(fflat, q, axis=0).reshape(
+                lead + (fmap.shape[-1],))
             wgt = wy[..., j] * wx[..., i] * inb
             out = out + val * wgt[..., None]
     return out

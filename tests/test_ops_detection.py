@@ -116,3 +116,27 @@ def test_pallas_nms_cellmax_matches_xla_chain():
         for cy, cx in np.argwhere(disagree):
             got = ref[cy, cx, int(csub[b][cy, cx])]
             assert got == rmax[cy, cx], (cy, cx)
+
+
+def test_roma_local_correlation_paths_agree():
+    """The all-pairs-MXU local correlation (coarse scales) must equal
+    the per-offset gather formulation — same grid_sample(zeros,
+    align_corners=False) semantics by linearity of the dot product."""
+    import jax
+    from imcui_tpu.models.matchers import roma
+
+    rng = np.random.default_rng(11)
+    h, w, d, r = 20, 26, 32, 3
+    f0 = jnp.asarray(rng.normal(size=(h, w, d)).astype(np.float32))
+    f1 = jnp.asarray(rng.normal(size=(h, w, d)).astype(np.float32))
+    warp = jnp.asarray(
+        rng.uniform(-1.1, 1.1, size=(h, w, 2)).astype(np.float32))
+
+    ref = np.asarray(roma._local_correlation_gather(f0, f1, warp, r))
+    mxu = roma._local_correlation_mxu(f0, f1, warp, r)
+    itap = roma._local_correlation_int_taps(f0, f1, warp, r)
+
+    np.testing.assert_allclose(np.asarray(mxu), ref, atol=2e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(itap), ref, atol=2e-5,
+                               rtol=1e-5)

@@ -114,17 +114,24 @@ def bench_duster(bf16=False, batch=1):
           "dec_heads", "patch", "max_matches", "subsample",
           "pos_embed", "head_type")}.items()))
 
+    from imcui_tpu.ops import ransac as ransac_ops
+
     def step(params, key, acc):
-        k0, k1 = jax.random.split(key)
+        k0, k1, k2 = jax.random.split(key, 3)
         dt = jnp.bfloat16 if bf16 else jnp.float32
         i0 = jax.random.uniform(k0, (B, R, R, 3), dt) * 2 - 1
         i1 = jax.random.uniform(k1, (B, R, R, 3), dt) * 2 - 1
         out = duster._apply_batched(params, i0, i1, conf_key)
+        # BASELINE config 5 is pointmap matching + batched RANSAC pose:
+        # 512-hypothesis fundamental verification on the mutual-NN set
+        ver = ransac_ops.ransac_batch(
+            k2, out["keypoints0"], out["keypoints1"], out["mask"],
+            model="fundamental", threshold=4.0, num_hypotheses=512)
         return (acc + out["scores"].astype(jnp.float32).sum()
-                + out["keypoints0"].astype(jnp.float32).sum())
+                + ver["num_inliers"].astype(jnp.float32).sum())
 
     _bench(step, params, 20, 2, B,
-           "pairs/s/chip DUSt3R(ViT-L,dpt)@512"
+           "pairs/s/chip DUSt3R(ViT-L,dpt)@512+ransac"
            + ("(bf16)" if bf16 else "") + f"@B{B}")
 
 

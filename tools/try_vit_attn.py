@@ -24,9 +24,40 @@ SHAPES = [
 ]
 
 
+def qtiled_attention(q, k, v, blk_q=128):
+    """fused_attention_small with q-tiling: logits per program are
+    (blk_q, nk) instead of (nq, nk) — at 1664 tokens the single-shot
+    kernel's 11 MB f32 logits squeeze the 16 MB scoped VMEM."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    h, nq, dh = q.shape
+    nk = k.shape[1]
+    maskf = jnp.ones((h, 1, nk), jnp.float32)
+    kernel = functools.partial(att._flash_attn_kernel, blk_k=nk, n_k=1,
+                               scale=1.0 / dh ** 0.5)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(h, nq // blk_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, dh), lambda hh, i: (hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda hh, i: (hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda hh, i: (hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk), lambda hh, i: (hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, dh), lambda hh, i: (hh, i, 0),
+                               memory_space=pltpu.VMEM),
+    )(q, k, v, maskf)
+
+
 def main():
     for name, h, n, dh in SHAPES:
-        for path in ("xla", "fused"):
+        for path in ("xla", "fused", "qtiled128", "qtiled256"):
             def step(_, key, acc, h=h, n=n, dh=dh, path=path):
                 ks = jax.random.split(key, 3)
                 q = jax.random.normal(ks[0], (h, n, dh), jnp.bfloat16)
@@ -38,8 +69,11 @@ def main():
                 for _ in range(12):
                     if path == "xla":
                         o = att.mha(o, k, v)
-                    else:
+                    elif path == "fused":
                         o = att.fused_attention_small(o, k, v)
+                    else:
+                        o = qtiled_attention(o, k, v,
+                                             blk_q=int(path[6:]))
                 return acc + o.astype(jnp.float32).sum()
 
             dt, _ = chain_bench(step, None, iters=20, warmup=2)
