@@ -184,6 +184,32 @@ def sample_descriptors(kpts, desc_map, s=8):
     return desc / jnp.maximum(norm, 1e-8)
 
 
+def sample_bilinear(fmap, kpts):
+    """Bilinear interpolation of a full-resolution channel-last map at
+    pixel coordinates.
+
+    Matches torch ``grid_sample(..., align_corners=True)`` with the
+    ALIKE-style normalisation ``kpts / [w-1, h-1] * 2 - 1`` — which maps
+    a pixel coordinate back to itself, so the sample is plain bilinear
+    interpolation at (x, y).
+
+    fmap: (H, W, C); kpts: (k, 2) xy in pixels → (k, C).
+    """
+    h, w, _ = fmap.shape
+    gx = jnp.clip(kpts[:, 0], 0.0, w - 1.0)
+    gy = jnp.clip(kpts[:, 1], 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    wx = (gx - x0)[:, None]
+    wy = (gy - y0)[:, None]
+    return (fmap[y0, x0] * (1 - wx) * (1 - wy)
+            + fmap[y0, x1] * wx * (1 - wy)
+            + fmap[y1, x0] * (1 - wx) * wy
+            + fmap[y1, x1] * wx * wy)
+
+
 def depth_to_space(x, block):
     """(C·b², H, W) → (C, H·b, W·b) pixel-shuffle (SuperPoint detector head
     cell-to-pixel unfold)."""
