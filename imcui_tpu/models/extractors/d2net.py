@@ -90,15 +90,21 @@ def backbone(params, x):
 
 
 def d2_scores(feats, eps=1e-8):
-    """D2-Net soft detection: α (spatial ratio-to-local-sum per channel) ×
-    β (channel ratio-to-max), maxed over channels."""
-    # spatial local softness over a 3×3 window
-    exp = jnp.exp(feats - feats.max((1, 2), keepdims=True))
+    """D2-Net soft detection (upstream lib/model_test.py
+    SoftDetectionModule, pinned by tests/test_torch_parity3.py):
+    features are ReLU'd, α = exp(x/M) / Σ_{3×3} exp(x/M) with the window
+    sum padded by exp(0)=1 at the borders and M the per-sample global
+    max, β = x / channelwise-max, score = max_c(α·β) normalised to sum 1
+    over the map."""
+    feats = jnp.maximum(feats, 0.0)
+    m = feats.max((1, 2, 3), keepdims=True)
+    exp = jnp.exp(feats / jnp.maximum(m, eps))
+    # border padding contributes exp(0)=1 per out-of-map tap
     window_sum = jax.lax.reduce_window(
-        exp, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
-    )
-    alpha = exp / (window_sum + eps)
-    beta = feats / (feats.max(-1, keepdims=True) + eps)
+        exp - 1.0, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    ) + 9.0
+    alpha = exp / window_sum
+    beta = feats / jnp.maximum(feats.max(-1, keepdims=True), eps)
     gamma = (alpha * beta).max(-1)  # (B, Hc, Wc)
     return gamma / (gamma.sum((1, 2), keepdims=True) + eps)
 

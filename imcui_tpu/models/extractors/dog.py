@@ -33,8 +33,9 @@ HARDNET_SPEC = [
 
 
 def init_bn_noaffine(c):
-    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
-            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+    # torch ``BatchNorm2d(affine=False)``: running stats only — no
+    # scale/bias leaves, so batch_norm_inference skips the affine step
+    return {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
 
 
 def init_hardnet(rng):
@@ -66,9 +67,13 @@ def hardnet_apply(params, patches):
 
 @jax.jit
 def _describe(params, patches):
+    """HardNet input_norm (upstream DagnyT/hardnet HardNet.input_norm):
+    per-patch standardisation with torch's UNBIASED std (N-1 divisor)
+    plus an additive 1e-7 eps — pinned by tests/test_torch_parity3.py."""
+    n = patches.shape[1] * patches.shape[2] * patches.shape[3]
     mean = patches.mean((1, 2, 3), keepdims=True)
-    std = patches.std((1, 2, 3), keepdims=True)
-    return hardnet_apply(params, (patches - mean) / jnp.maximum(std, 1e-6))
+    var = ((patches - mean) ** 2).sum((1, 2, 3), keepdims=True) / (n - 1)
+    return hardnet_apply(params, (patches - mean) / (jnp.sqrt(var) + 1e-7))
 
 
 def extract_patches(image, pts, scales, angles, patch_size=32,

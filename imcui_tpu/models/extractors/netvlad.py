@@ -111,11 +111,19 @@ def _convert(sd, init):
 
 
 def vgg16_trunk(params, x):
-    """x: (B, H, W, 3) → (B, H/16, W/16, 512) (conv5_3, no final pool)."""
+    """x: (B, H, W, 3) → (B, H/16, W/16, 512).
+
+    Reference slices ``vgg16().features`` children ``[:-2]``
+    (imcui/hloc/extractors/netvlad.py:65-68): the trunk ends at conv5_3
+    WITHOUT its ReLU and without pool5 — pinned by
+    tests/test_torch_parity3.py."""
     idx = 0
     for bi, block in enumerate(VGG16_CFG):
-        for _ in block:
-            x = relu(conv2d(params[str(idx)], x))
+        for ci, _ in enumerate(block):
+            x = conv2d(params[str(idx)], x)
+            last = (bi == len(VGG16_CFG) - 1 and ci == len(block) - 1)
+            if not last:
+                x = relu(x)
             idx += 2
         idx += 1
         if bi < len(VGG16_CFG) - 1:

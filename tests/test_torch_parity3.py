@@ -131,6 +131,198 @@ def test_alike_alnet_parity(name):
                                atol=2e-4, rtol=1e-3)
 
 
+# ---------------------------------------------------------------------------
+# D2-Net — dense VGG16 extractor (mgdtnt/d2-net lib/model_test.py): convs
+# through conv4_3 with pool3 replaced by AvgPool2d(2, stride=1) and
+# dilation-2 conv4 stage; soft detection = relu → exp(x/globalmax) with
+# the 3×3 window sum padded by exp(0)=1, × channel-ratio-to-max, maxed
+# over channels, map-normalised.
+# ---------------------------------------------------------------------------
+
+
+def torch_d2net_features(sd, img):
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.extractors.d2net import VGG_CFG
+
+    x = torch.from_numpy(img).permute(2, 0, 1)[None]
+    for i, spec in enumerate(VGG_CFG):
+        if spec == "maxpool":
+            x = F.max_pool2d(x, 2, 2)
+        elif spec == "avgpool1":
+            x = F.avg_pool2d(x, 2, stride=1)  # no padding: H-1 × W-1
+        else:
+            dil = spec[2]
+            x = F.conv2d(x, _t(sd, f"features.{i}.weight"),
+                         _t(sd, f"features.{i}.bias"),
+                         padding=dil, dilation=dil)
+            x = F.relu(x)
+    return x[0].permute(1, 2, 0).numpy()
+
+
+def torch_d2_soft_detection(feats):
+    import torch.nn.functional as F
+
+    batch = torch.from_numpy(feats).permute(2, 0, 1)[None]
+    b = batch.size(0)
+    batch = F.relu(batch)
+    max_per_sample = torch.max(batch.reshape(b, -1), dim=1)[0]
+    exp = torch.exp(batch / max_per_sample.view(b, 1, 1, 1))
+    sum_exp = 9 * F.avg_pool2d(
+        F.pad(exp, [1] * 4, mode="constant", value=1.0), 3, stride=1)
+    local_max_score = exp / sum_exp
+    depth_wise_max = torch.max(batch, dim=1)[0]
+    depth_wise_max_score = batch / depth_wise_max.unsqueeze(1)
+    all_scores = local_max_score * depth_wise_max_score
+    score = torch.max(all_scores, dim=1)[0]
+    score = score / torch.sum(score.reshape(b, -1), dim=1).view(b, 1, 1)
+    return score[0].numpy()
+
+
+def test_d2net_backbone_parity():
+    from imcui_tpu.models.extractors import d2net
+
+    rng = np.random.default_rng(7)
+    params = _randomize(d2net.init_params(jax.random.PRNGKey(0)), rng,
+                        scale=0.05)
+    sd = tree_to_state_dict(params)
+
+    img = rng.uniform(size=(64, 96, 3)).astype(np.float32)
+    want = torch_d2net_features(sd, img)  # (H/4-1, W/4-1, 512)
+    got = np.asarray(d2net.backbone(params, jnp.asarray(img)[None])[0])
+    hc, wc = want.shape[:2]
+    # our avg-pool keeps the static shape by replicate-padding the last
+    # row/col; that border difference propagates ≤6 px through the three
+    # dilation-2 convs — the interior must match exactly
+    np.testing.assert_allclose(got[:hc - 6, :wc - 6], want[:-6, :-6],
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_d2net_soft_detection_parity():
+    from imcui_tpu.models.extractors.d2net import d2_scores
+
+    rng = np.random.default_rng(8)
+    feats = rng.normal(size=(11, 13, 24)).astype(np.float32)
+    want = torch_d2_soft_detection(feats)
+    got = np.asarray(d2_scores(jnp.asarray(feats)[None])[0])
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# HardNet / SOSNet — published HardNet (DagnyT/hardnet model HardNet):
+# 7 bias-free conv blocks with affine-free BatchNorm (strided ones pad
+# symmetrically), final 8×8 VALID conv + BN, per-patch input_norm with
+# torch's unbiased std + 1e-7 additive eps, L2 output normalisation.
+# SOSNet shares the exact topology (different weights).
+# ---------------------------------------------------------------------------
+
+
+def torch_hardnet(blocks, patches):
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.extractors.dog import HARDNET_SPEC
+
+    x = torch.from_numpy(patches).permute(0, 3, 1, 2)
+    # input_norm: flattened per-patch mean / unbiased std
+    flat = x.reshape(x.size(0), -1)
+    mp = flat.mean(dim=1).view(-1, 1, 1, 1)
+    sp = flat.std(dim=1).view(-1, 1, 1, 1) + 1e-7
+    x = (x - mp) / sp
+    for i, ((cout, s, k), blk) in enumerate(zip(HARDNET_SPEC, blocks)):
+        w = torch.from_numpy(
+            np.asarray(blk["conv"]["w"]).transpose(3, 2, 0, 1))
+        x = F.conv2d(x, w, None, stride=s, padding=(k // 2 if k == 3
+                                                    else 0))
+        x = F.batch_norm(
+            x, torch.from_numpy(np.asarray(blk["bn"]["mean"])),
+            torch.from_numpy(np.asarray(blk["bn"]["var"])), None, None,
+            training=False)
+        if i < len(HARDNET_SPEC) - 1:
+            x = F.relu(x)
+    x = x.reshape(x.size(0), -1)
+    return F.normalize(x, p=2, dim=1).numpy()
+
+
+def test_hardnet_forward_parity():
+    from imcui_tpu.models.extractors import dog
+
+    rng = np.random.default_rng(11)
+    params = _randomize(dog.init_hardnet(jax.random.PRNGKey(0)), rng,
+                        scale=0.1)
+    patches = rng.uniform(size=(6, 32, 32, 1)).astype(np.float32)
+    want = torch_hardnet(params["features"], patches)
+    got = np.asarray(dog._describe(params, jnp.asarray(patches)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# NetVLAD — the reference's own torch port (imcui/hloc/extractors/
+# netvlad.py:17-38, 65-68): VGG16 trunk sliced [:-2] (conv5_3 WITHOUT its
+# ReLU, no pool5), input pre-normalisation, softmax soft-assignment,
+# VLAD residual aggregation, per-cluster intra-norm over D, D-major
+# flatten, global L2, linear whitening + final L2.
+# ---------------------------------------------------------------------------
+
+
+def torch_netvlad(params, image):
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.extractors.netvlad import VGG16_CFG
+
+    x = torch.from_numpy(image)  # (B, 3, H, W) already mean-shifted
+    idx = 0
+    for bi, block in enumerate(VGG16_CFG):
+        for ci, _ in enumerate(block):
+            p = params["backbone"][str(idx)]
+            w = torch.from_numpy(
+                np.asarray(p["w"]).transpose(3, 2, 0, 1).copy())
+            x = F.conv2d(x, w, torch.from_numpy(np.asarray(p["b"])),
+                         padding=1)
+            if not (bi == len(VGG16_CFG) - 1 and ci == len(block) - 1):
+                x = F.relu(x)
+            idx += 2
+        idx += 1
+        if bi < len(VGG16_CFG) - 1:
+            x = F.max_pool2d(x, 2, 2)
+
+    b, c = x.size(0), x.size(1)
+    descriptors = x.view(b, c, -1)
+    descriptors = F.normalize(descriptors, dim=1)
+
+    # NetVLADLayer.forward
+    score_w = torch.from_numpy(
+        np.asarray(params["netvlad"]["score_proj"]["w"])[0, 0].T.copy()
+    ).unsqueeze(-1)  # (K, D, 1)
+    centers = torch.from_numpy(np.asarray(params["netvlad"]["centers"]))
+    scores = F.conv1d(descriptors, score_w)
+    scores = F.softmax(scores, dim=1)
+    diff = descriptors.unsqueeze(2) - centers.unsqueeze(0).unsqueeze(-1)
+    desc = (scores.unsqueeze(1) * diff).sum(dim=-1)
+    desc = F.normalize(desc, dim=1)
+    desc = desc.reshape(b, -1)
+    desc = F.normalize(desc, dim=1)
+
+    w = torch.from_numpy(np.asarray(params["whiten"]["w"]).T.copy())
+    bias = torch.from_numpy(np.asarray(params["whiten"]["b"]))
+    desc = F.linear(desc, w, bias)
+    return F.normalize(desc, dim=1).numpy()
+
+
+def test_netvlad_forward_parity():
+    from imcui_tpu.models.extractors import netvlad
+
+    rng = np.random.default_rng(13)
+    params = _randomize(netvlad.init_params(jax.random.PRNGKey(0)), rng,
+                        scale=0.02)
+    image = rng.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+
+    mean = np.asarray([123.68, 116.779, 103.939], np.float32) / 255.0
+    shifted = (image - mean[None, :, None, None]) * 255.0
+    want = torch_netvlad(params, shifted)
+    got = np.asarray(netvlad.apply(params, jnp.asarray(image)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
 def test_alike_descriptor_sampling_vs_grid_sample():
     """ALIKE samples the dense map at keypoints with grid_sample
     align_corners=True after kpts/[w-1,h-1]*2-1 normalisation — on a
