@@ -1,20 +1,35 @@
 """SOLD² line detector + matcher, native JAX.
 
 Reference contract: imcui/hloc/matchers/sold2.py:18-144 — standalone line
-matcher {image0, image1} → {raw_lines0/1, lines0/1 (matched, xy order)};
-the wrapper runs the sold2 LineMatcher (lcnn backbone, superpoint-style
-junction decoder, heatmap decoder, descriptor head; detection by sampling
-the heatmap along candidate junction pairs; matching by sampled-descriptor
-Needleman-Wunsch with cross-check).
+matcher {image0, image1} → {raw_lines0/1, lines0/1 (matched, xy order)}.
 
-TPU-first redesign:
-- one shared conv backbone (hourglass-lite) emits the junction heatmap
-  (65-way space-to-depth logits), the line heatmap, and a 128-d
-  descriptor map in a single jitted forward over BOTH images;
+The network is the published SOLD² model (cvg/SOLD2 model_util.py with
+the lcnn backbone config: input_channel 1, depth 4, num_stacks 2,
+num_blocks 1, num_classes 5), pinned by the torch restatement fixture in
+tests/test_torch_parity3.py and keyed to the ``sold2_wireframe.tar``
+state_dict naming:
+
+- ``backbone_net.net``: lcnn stacked-hourglass (zhou13/lcnn
+  hourglass_pose.py): conv1 7×7/s2 + bn + relu, pre-activation
+  Bottleneck2D residuals (expansion 2), maxpool to /4, two depth-4
+  hourglass stacks at 256 ch with fc/score/fc_/score_ inter-stack
+  wiring (score = MultitaskHead with head sizes [[2],[1],[2]]); the
+  backbone feature is the final stack's post-fc activation y at /4.
+- ``junction_decoder``: SuperpointDecoder — convPa 3×3 stride-2 (/8
+  grid) + relu, convPb 1×1 → 65; softmax, drop dustbin, ×8 shuffle.
+- ``heatmap_decoder``: PixelShuffleDecoder(num_upsample=2, channels
+  [256, 64, 16]) — (conv+bn+relu, shuffle)×2 then 1×1 conv → 2
+  channels at /1; heatmap = softmax channel 1.
+- ``descriptor_decoder``: SuperpointDescriptor — convPa 3×3 + relu,
+  convPb 1×1 → 128-d semi-dense descriptors at /4.
+
+Detection + matching are TPU-first redesigns over the published heads'
+outputs (fixed-shape candidate enumeration instead of the reference's
+dynamic adaptive line sampling):
 - candidate segments = all pairs of the top-K junctions (fixed K → fixed
   K² candidate matrix); each candidate is scored by bilinear-sampling the
-  line heatmap at S points along it (a (K², S) gather) and kept when the
-  mean heat + inlier ratio pass detect_thresh — no dynamic shapes;
+  line heatmap at S points along it and kept when the mean heat + inlier
+  ratio pass detect_thresh — no dynamic shapes;
 - matching scores sampled line descriptors with a cross-checked mean-
   similarity vote (the NW alignment's effect at our sample counts) over
   fixed (L, S, C) tensors.
@@ -28,8 +43,8 @@ import numpy as np
 
 from ...utils.base_model import BaseModel
 from ...utils.weights import load_params_auto
-from ..layers import (batch_norm_inference, conv2d, init_conv, max_pool,
-                      relu)
+from ..backbones.resnet import init_bn
+from ..layers import batch_norm_inference, conv2d, init_conv, max_pool, relu
 
 MAX_JUNCTIONS = 64
 N_SAMPLES = 8          # heat samples along a candidate segment
@@ -37,28 +52,162 @@ N_DESC_SAMPLES = 5     # descriptor samples along a detected line
 MAX_LINES = 256
 DESC_DIM = 128
 
+NUM_STACKS = 2
+DEPTH = 4
+HEAD_SIZES = (2, 1, 2)  # MultitaskHead partitions of num_classes=5
 
-def init_bn(c):
-    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
-            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+# ---------------------------------------------------------------------------
+# lcnn stacked hourglass
+# ---------------------------------------------------------------------------
 
 
-def _cbr(key, cin, cout):
-    return {"conv": init_conv(key, 3, 3, cin, cout, bias=False),
-            "bn": init_bn(cout)}
+def _init_bottleneck(key, inplanes, planes):
+    """Pre-activation Bottleneck2D (expansion 2): bn→relu→1×1,
+    bn→relu→3×3, bn→relu→1×1(→2·planes); 1×1 downsample Sequential when
+    inplanes ≠ 2·planes. All convs biased (nn.Conv2d defaults)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "bn1": init_bn(inplanes),
+        "conv1": init_conv(k1, 1, 1, inplanes, planes),
+        "bn2": init_bn(planes),
+        "conv2": init_conv(k2, 3, 3, planes, planes),
+        "bn3": init_bn(planes),
+        "conv3": init_conv(k3, 1, 1, planes, planes * 2),
+    }
+    if inplanes != planes * 2:
+        p["downsample"] = {"0": init_conv(k4, 1, 1, inplanes, planes * 2)}
+    return p
+
+
+def _bottleneck(p, x):
+    y = conv2d(p["conv1"], relu(batch_norm_inference(p["bn1"], x)))
+    y = conv2d(p["conv2"], relu(batch_norm_inference(p["bn2"], y)))
+    y = conv2d(p["conv3"], relu(batch_norm_inference(p["bn3"], y)))
+    if "downsample" in p:
+        x = conv2d(p["downsample"]["0"], x)
+    return y + x
+
+
+def _init_hourglass(key, planes=128):
+    """hg.{i} = ModuleList of 3 (4 at i=0) single-block Sequentials."""
+    hg = {}
+    keys = jax.random.split(key, DEPTH * 4)
+    ki = 0
+    for i in range(DEPTH):
+        n = 4 if i == 0 else 3
+        hg[str(i)] = {}
+        for j in range(n):
+            hg[str(i)][str(j)] = {
+                "0": _init_bottleneck(keys[ki], planes * 2, planes)}
+            ki += 1
+    return hg
+
+
+def _hourglass_forward(hg, n, x):
+    up1 = _bottleneck(hg[str(n - 1)]["0"]["0"], x)
+    low1 = _bottleneck(hg[str(n - 1)]["1"]["0"], max_pool(x))
+    if n > 1:
+        low2 = _hourglass_forward(hg, n - 1, low1)
+    else:
+        low2 = _bottleneck(hg[str(0)]["3"]["0"], low1)
+    low3 = _bottleneck(hg[str(n - 1)]["2"]["0"], low2)
+    b, h, w, c = low3.shape
+    up2 = jnp.repeat(jnp.repeat(low3, 2, 1), 2, 2)  # nearest ×2
+    return up1 + up2
+
+
+def _init_head(key, cin=256):
+    """MultitaskHead: per-partition Sequential(3×3 conv → relu → 1×1)."""
+    heads = {}
+    keys = jax.random.split(key, len(HEAD_SIZES) * 2)
+    for h, cout in enumerate(HEAD_SIZES):
+        heads[str(h)] = {
+            "0": init_conv(keys[2 * h], 3, 3, cin, cin // 4),
+            "2": init_conv(keys[2 * h + 1], 1, 1, cin // 4, cout),
+        }
+    return {"heads": heads}
+
+
+def _head(p, x):
+    outs = [conv2d(p["heads"][str(h)]["2"],
+                   relu(conv2d(p["heads"][str(h)]["0"], x)))
+            for h in range(len(HEAD_SIZES))]
+    return jnp.concatenate(outs, -1)
+
+
+def init_hourglass_net(rng):
+    keys = jax.random.split(rng, 16)
+    net = {
+        "conv1": init_conv(keys[0], 7, 7, 1, 64),
+        "bn1": init_bn(64),
+        # layer1: Bottleneck2D(64, 64) + ds → 128; layer2: (128, 128) +
+        # ds → 256; layer3: (256, 128), no ds
+        "layer1": {"0": _init_bottleneck(keys[1], 64, 64)},
+        "layer2": {"0": _init_bottleneck(keys[2], 128, 128)},
+        "layer3": {"0": _init_bottleneck(keys[3], 256, 128)},
+        "hg": {}, "res": {}, "fc": {}, "score": {},
+        "fc_": {}, "score_": {},
+    }
+    for s in range(NUM_STACKS):
+        net["hg"][str(s)] = {"hg": _init_hourglass(keys[4 + s])}
+        net["res"][str(s)] = {"0": _init_bottleneck(keys[6 + s], 256, 128)}
+        net["fc"][str(s)] = {"0": init_conv(keys[8 + s], 1, 1, 256, 256),
+                             "1": init_bn(256)}
+        net["score"][str(s)] = _init_head(keys[10 + s])
+        if s < NUM_STACKS - 1:
+            net["fc_"][str(s)] = init_conv(keys[12 + s], 1, 1, 256, 256)
+            net["score_"][str(s)] = init_conv(
+                keys[14 + s], 1, 1, sum(HEAD_SIZES), 256)
+    return net
+
+
+def hourglass_net(net, x):
+    """x: (B, H, W, 1) → y: (B, H/4, W/4, 256) (final stack's post-fc
+    feature — what HourglassBackbone returns as outputs[1])."""
+    x = relu(batch_norm_inference(net["bn1"],
+                                  conv2d(net["conv1"], x, stride=2)))
+    x = _bottleneck(net["layer1"]["0"], x)
+    x = max_pool(x)
+    x = _bottleneck(net["layer2"]["0"], x)
+    x = _bottleneck(net["layer3"]["0"], x)
+    y = x
+    for s in range(NUM_STACKS):
+        y = _hourglass_forward(net["hg"][str(s)]["hg"], DEPTH, x)
+        y = _bottleneck(net["res"][str(s)]["0"], y)
+        y = relu(batch_norm_inference(
+            net["fc"][str(s)]["1"], conv2d(net["fc"][str(s)]["0"], y)))
+        score = _head(net["score"][str(s)], y)
+        if s < NUM_STACKS - 1:
+            x = x + conv2d(net["fc_"][str(s)], y) \
+                + conv2d(net["score_"][str(s)], score)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# decoders
+# ---------------------------------------------------------------------------
 
 
 def init_params(rng):
-    keys = jax.random.split(rng, 12)
+    keys = jax.random.split(rng, 8)
     return {
-        "trunk": [_cbr(keys[0], 1, 64), _cbr(keys[1], 64, 64),
-                  _cbr(keys[2], 64, 128), _cbr(keys[3], 128, 128),
-                  _cbr(keys[4], 128, 256), _cbr(keys[5], 256, 256)],
-        "junc": init_conv(keys[6], 1, 1, 256, 65),
-        "heat": [init_conv(keys[7], 3, 3, 256, 128),
-                 init_conv(keys[8], 1, 1, 128, 4)],  # 2×2 s2d heat @ /4
-        "desc": [init_conv(keys[9], 3, 3, 256, 256),
-                 init_conv(keys[10], 1, 1, 256, DESC_DIM)],
+        "backbone_net": {"net": init_hourglass_net(keys[0])},
+        "junction_decoder": {
+            "convPa": init_conv(keys[1], 3, 3, 256, 256),
+            "convPb": init_conv(keys[2], 1, 1, 256, 65),
+        },
+        "heatmap_decoder": {"conv_block_lst": {
+            "0": {"0": init_conv(keys[3], 3, 3, 256, 256),
+                  "1": init_bn(256)},
+            "1": {"0": init_conv(keys[4], 3, 3, 64, 64),
+                  "1": init_bn(64)},
+            "2": init_conv(keys[5], 1, 1, 16, 2),
+        }},
+        "descriptor_decoder": {
+            "convPa": init_conv(keys[6], 3, 3, 256, 256),
+            "convPb": init_conv(keys[7], 1, 1, 256, DESC_DIM),
+        },
     }
 
 
@@ -68,32 +217,38 @@ def load_params(conf):
                                             "sold2_wireframe.tar"), init, "sold2")
 
 
+def _pixel_shuffle(x, r=2):
+    """NHWC pixel shuffle matching torch.nn.PixelShuffle channel order
+    (k = c·r² + i·r + j)."""
+    b, h, w, k = x.shape
+    c = k // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c)
+
+
 def backbone(params, x):
-    """x: (B, H, W, 1) → junctions heat (B, H, W), line heat (B, H/2,
-    W/2), desc map (B, H/8, W/8, 128)."""
-    feats = x
-    for i, p in enumerate(params["trunk"]):
-        feats = relu(batch_norm_inference(p["bn"],
-                                          conv2d(p["conv"], feats)))
-        if i in (1, 3):
-            feats = max_pool(feats)
-    f8 = max_pool(feats)  # /8 for descriptors
+    """x: (B, H, W, 1), H,W % 64 == 0 → junction prob (B, H, W), line
+    heat (B, H, W), desc map (B, H/4, W/4, 128) L2-normalised."""
+    y = hourglass_net(params["backbone_net"]["net"], x)  # (B,H/4,W/4,256)
 
-    # junction decoder (65-way s2d over the /8 grid → full-res heat)
-    logits = conv2d(params["junc"], f8)
-    prob = jax.nn.softmax(logits, -1)[..., :64]
-    b, hc, wc, _ = prob.shape
-    junc = prob.reshape(b, hc, wc, 8, 8).transpose(0, 1, 3, 2, 4)
-    junc = junc.reshape(b, hc * 8, wc * 8)
+    # junction decoder: stride-2 convPa → /8 grid, 65-way softmax,
+    # drop dustbin, ×8 shuffle to full res
+    jd = params["junction_decoder"]
+    semi = conv2d(jd["convPb"], relu(conv2d(jd["convPa"], y, stride=2)))
+    prob = jax.nn.softmax(semi, -1)[..., :64]
+    junc = _pixel_shuffle(prob, 8)[..., 0]
 
-    # line heatmap decoder at /2 (2×2 s2d from the /4 trunk features)
-    heat_log = conv2d(params["heat"][1],
-                      relu(conv2d(params["heat"][0], feats)))
-    hb, hh, hw, _ = heat_log.shape
-    heat = jax.nn.sigmoid(heat_log).reshape(hb, hh, hw, 2, 2)
-    heat = heat.transpose(0, 1, 3, 2, 4).reshape(hb, hh * 2, hw * 2)
+    # heatmap decoder: (conv+bn+relu, shuffle)×2 then 1×1 → 2ch at /1
+    hd = params["heatmap_decoder"]["conv_block_lst"]
+    h = relu(batch_norm_inference(hd["0"]["1"], conv2d(hd["0"]["0"], y)))
+    h = _pixel_shuffle(h, 2)
+    h = relu(batch_norm_inference(hd["1"]["1"], conv2d(hd["1"]["0"], h)))
+    h = _pixel_shuffle(h, 2)
+    heat = jax.nn.softmax(conv2d(hd["2"], h), -1)[..., 1]
 
-    desc = conv2d(params["desc"][1], relu(conv2d(params["desc"][0], f8)))
+    dd = params["descriptor_decoder"]
+    desc = conv2d(dd["convPb"], relu(conv2d(dd["convPa"], y)))
     desc = desc / jnp.maximum(
         jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
     return junc, heat, desc
@@ -114,7 +269,7 @@ def _bilinear(hmap, xy):
 
 
 def detect_lines_single(junc, heat, detect_thresh, valid_thresh,
-                        min_len=8.0):
+                        valid_wh=None, min_len=8.0):
     """Fixed-shape line detection: top-K junctions → K² candidates scored
     on the /1 line heatmap. Returns lines (MAX_LINES, 2, 2), scores, valid.
     """
@@ -122,6 +277,7 @@ def detect_lines_single(junc, heat, detect_thresh, valid_thresh,
 
     h, w = junc.shape
     s = nms_ops.simple_nms(junc, 3)
+    s = s * nms_ops.border_mask(h, w, 0, valid_wh=valid_wh, dtype=s.dtype)
     kpts, kscores, kmask = nms_ops.select_topk_keypoints(
         s, MAX_JUNCTIONS, 0.0)
     # candidate segments: upper-triangle junction pairs
@@ -130,10 +286,7 @@ def detect_lines_single(junc, heat, detect_thresh, valid_thresh,
     p1 = kpts[jj]
     t = jnp.linspace(0.0, 1.0, N_SAMPLES)[None, :, None]
     pts = p0[:, None] + (p1 - p0)[:, None] * t       # (P, S, 2)
-    # heatmap lives at /1 after s2d (same res as junc/2 — upsampled grid)
-    heat_xy = pts * (jnp.asarray(heat.shape[::-1], jnp.float32)
-                     / jnp.asarray([w, h], jnp.float32))
-    samples = _bilinear(heat, heat_xy)               # (P, S)
+    samples = _bilinear(heat, pts)                   # (P, S)
     mean_heat = samples.mean(-1)
     inlier = (samples > valid_thresh).mean(-1)
     length = jnp.linalg.norm(p1 - p0, axis=-1)
@@ -146,11 +299,11 @@ def detect_lines_single(junc, heat, detect_thresh, valid_thresh,
 
 
 def sample_line_desc(desc_map, lines):
-    """desc_map: (Hc, Wc, C) at /8; lines: (L, 2, 2) px →
+    """desc_map: (Hc, Wc, C) at /4; lines: (L, 2, 2) px →
     (L, S, C) L2-normalised."""
     t = jnp.linspace(0.05, 0.95, N_DESC_SAMPLES)[None, :, None]
     pts = lines[:, None, 0] + (lines[:, 1] - lines[:, 0])[:, None] * t
-    d = jax.vmap(lambda p: _bilinear_vec(desc_map, p))(pts / 8.0)
+    d = jax.vmap(lambda p: _bilinear_vec(desc_map, p))(pts / 4.0)
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
                            1e-8)
 
@@ -191,14 +344,14 @@ def match_lines(d0, d1, v0, v1):
 
 @functools.partial(jax.jit,
                    static_argnames=("detect_thresh", "valid_thresh"))
-def apply_pair(params, image0, image1, detect_thresh=0.25,
-               valid_thresh=1e-3):
+def apply_pair(params, image0, image1, valid_wh0, valid_wh1,
+               detect_thresh=0.25, valid_thresh=1e-3):
     x = jnp.stack([image0, image1], 0)
     junc, heat, desc = backbone(params, x)
     l0, s0, v0 = detect_lines_single(junc[0], heat[0], detect_thresh,
-                                     valid_thresh)
+                                     valid_thresh, valid_wh=valid_wh0)
     l1, s1, v1 = detect_lines_single(junc[1], heat[1], detect_thresh,
-                                     valid_thresh)
+                                     valid_thresh, valid_wh=valid_wh1)
     d0 = sample_line_desc(desc[0], l0)
     d1 = sample_line_desc(desc[1], l1)
     matches, mscores = match_lines(d0, d1, v0, v1)
@@ -227,13 +380,26 @@ class SOLD2(BaseModel):
         image0 = jnp.asarray(data["image0"], jnp.float32)
         image1 = jnp.asarray(data["image1"], jnp.float32)
 
+        # /4 features go through 4 hourglass pools → pad to /64; a
+        # mixed-size pair pads both images to the common envelope so the
+        # two forwards batch into one program
+        hp = max(-(-image0.shape[2] // 64) * 64,
+                 -(-image1.shape[2] // 64) * 64)
+        wp = max(-(-image0.shape[3] // 64) * 64,
+                 -(-image1.shape[3] // 64) * 64)
+
         def gray(img):
             x = img[0]
-            return x.mean(0)[..., None] if x.shape[0] == 3 \
-                else x[0][..., None]
+            x = x.mean(0) if x.shape[0] == 3 else x[0]
+            h, w = x.shape
+            if (hp, wp) != (h, w):
+                x = jnp.pad(x, ((0, hp - h), (0, wp - w)))
+            return x[..., None], jnp.asarray([w, h], jnp.int32)
 
+        x0, vwh0 = gray(image0)
+        x1, vwh1 = gray(image1)
         l0, l1, v0, v1, matches, mscores = apply_pair(
-            self.params, gray(image0), gray(image1),
+            self.params, x0, x1, vwh0, vwh1,
             detect_thresh=float(self.conf["detect_thresh"]),
             valid_thresh=float(self.conf["valid_thresh"]))
         l0 = np.asarray(l0)

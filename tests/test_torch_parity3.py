@@ -323,6 +323,109 @@ def test_netvlad_forward_parity():
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+# ---------------------------------------------------------------------------
+# SOLD² — published network (cvg/SOLD2 model_util.py, lcnn backbone
+# config depth 4 / num_stacks 2 / num_blocks 1 / num_classes 5):
+# stacked-hourglass with pre-activation Bottleneck2D (expansion 2),
+# MultitaskHead score heads with inter-stack fc_/score_ wiring,
+# stride-2 SuperpointDecoder junctions (65-way softmax + ×8 shuffle),
+# PixelShuffleDecoder heatmap ([256, 64, 16] + 1×1 → 2ch softmax),
+# SuperpointDescriptor 128-d semi-dense descriptors.
+# ---------------------------------------------------------------------------
+
+
+def torch_sold2(sd, img):
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.matchers.sold2 import (DEPTH, HEAD_SIZES,
+                                                 NUM_STACKS)
+
+    def conv(prefix, x, stride=1):
+        w = _t(sd, f"{prefix}.weight")
+        return F.conv2d(x, w, _t(sd, f"{prefix}.bias"), stride=stride,
+                        padding=w.shape[-1] // 2)
+
+    def bn(prefix, x):
+        return _torch_bn(sd, prefix, x)
+
+    def bottleneck(prefix, x):
+        y = conv(f"{prefix}.conv1", F.relu(bn(f"{prefix}.bn1", x)))
+        y = conv(f"{prefix}.conv2", F.relu(bn(f"{prefix}.bn2", y)))
+        y = conv(f"{prefix}.conv3", F.relu(bn(f"{prefix}.bn3", y)))
+        if f"{prefix}.downsample.0.weight" in sd:
+            x = conv(f"{prefix}.downsample.0", x)
+        return y + x
+
+    def hourglass(prefix, n, x):
+        up1 = bottleneck(f"{prefix}.{n - 1}.0.0", x)
+        low1 = bottleneck(f"{prefix}.{n - 1}.1.0", F.max_pool2d(x, 2, 2))
+        low2 = (hourglass(prefix, n - 1, low1) if n > 1
+                else bottleneck(f"{prefix}.0.3.0", low1))
+        low3 = bottleneck(f"{prefix}.{n - 1}.2.0", low2)
+        return up1 + F.interpolate(low3, scale_factor=2)  # nearest
+
+    def head(prefix, x):
+        outs = []
+        for h in range(len(HEAD_SIZES)):
+            y = F.relu(conv(f"{prefix}.heads.{h}.0", x))
+            outs.append(conv(f"{prefix}.heads.{h}.2", y))
+        return torch.cat(outs, 1)
+
+    net = "backbone_net.net"
+    x = torch.from_numpy(img)[None, None]
+    x = F.relu(bn(f"{net}.bn1", conv(f"{net}.conv1", x, stride=2)))
+    x = bottleneck(f"{net}.layer1.0", x)
+    x = F.max_pool2d(x, 2, 2)
+    x = bottleneck(f"{net}.layer2.0", x)
+    x = bottleneck(f"{net}.layer3.0", x)
+    y = x
+    for s in range(NUM_STACKS):
+        y = hourglass(f"{net}.hg.{s}.hg", DEPTH, x)
+        y = bottleneck(f"{net}.res.{s}.0", y)
+        y = F.relu(bn(f"{net}.fc.{s}.1", conv(f"{net}.fc.{s}.0", y)))
+        score = head(f"{net}.score.{s}", y)
+        if s < NUM_STACKS - 1:
+            x = x + conv(f"{net}.fc_.{s}", y) \
+                + conv(f"{net}.score_.{s}", score)
+
+    semi = conv("junction_decoder.convPb",
+                F.relu(conv("junction_decoder.convPa", y, stride=2)))
+    prob = F.softmax(semi, dim=1)[:, :-1]
+    junc = F.pixel_shuffle(prob, 8)[0, 0]
+
+    hd = "heatmap_decoder.conv_block_lst"
+    h = F.relu(bn(f"{hd}.0.1", conv(f"{hd}.0.0", y)))
+    h = F.pixel_shuffle(h, 2)
+    h = F.relu(bn(f"{hd}.1.1", conv(f"{hd}.1.0", h)))
+    h = F.pixel_shuffle(h, 2)
+    heat = F.softmax(conv(f"{hd}.2", h), dim=1)[0, 1]
+
+    desc = conv("descriptor_decoder.convPb",
+                F.relu(conv("descriptor_decoder.convPa", y)))
+    desc = F.normalize(desc, p=2, dim=1)
+    return junc.numpy(), heat.numpy(), desc[0].permute(1, 2, 0).numpy()
+
+
+def test_sold2_network_parity():
+    from imcui_tpu.models.matchers import sold2
+
+    rng = np.random.default_rng(17)
+    params = _randomize(sold2.init_params(jax.random.PRNGKey(0)), rng,
+                        scale=0.05)
+    sd = tree_to_state_dict(params)
+
+    img = rng.uniform(size=(64, 64)).astype(np.float32)
+    want_junc, want_heat, want_desc = torch_sold2(sd, img)
+    junc, heat, desc = sold2.backbone(params,
+                                      jnp.asarray(img)[None, ..., None])
+    np.testing.assert_allclose(np.asarray(junc[0]), want_junc,
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(heat[0]), want_heat,
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(desc[0]), want_desc,
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_alike_descriptor_sampling_vs_grid_sample():
     """ALIKE samples the dense map at keypoints with grid_sample
     align_corners=True after kpts/[w-1,h-1]*2-1 normalisation — on a
