@@ -338,97 +338,6 @@ def test_disk_unet_parity():
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
 
-# ---------------------------------------------------------------------------
-# ALIKED: conv backbone + SDDH (deformable descriptor head). Our SDDH is
-# the published *mechanism* (patch → offsets → bilinear samples → learned
-# aggregation) on a fixed-k masked layout; this fixture pins its torch
-# semantics (tanh offset range, bilinear sampling, projection order).
-# ---------------------------------------------------------------------------
-
-
-def test_aliked_backbone_and_sddh_parity():
-    import torch.nn.functional as F
-    from imcui_tpu.models.extractors import aliked
-
-    sizes = aliked.SIZES["aliked-t16"]
-    params = aliked.init_params(jax.random.PRNGKey(13), **sizes)
-    img = np.random.default_rng(14).uniform(
-        size=(32, 48, 3)).astype(np.float32)
-
-    def t(a):
-        return torch.from_numpy(np.asarray(a))
-
-    def tconv(p, x, k):
-        return F.conv2d(x, t(p["w"]).permute(3, 2, 0, 1), t(p["b"]),
-                        padding=k // 2)
-
-    def tblock(p, x):
-        return F.relu(tconv(p["conv2"], F.relu(tconv(p["conv1"], x, 3)),
-                            3))
-
-    x = torch.from_numpy(img).permute(2, 0, 1)[None]
-    x1 = tblock(params["block1"], x)
-    x2 = tblock(params["block2"], F.max_pool2d(x1, 2, 2))
-    x3 = tblock(params["block3"], F.max_pool2d(x2, 2, 2))
-    x4 = tblock(params["block4"], F.max_pool2d(x3, 2, 2))
-
-    def up(v, f):
-        return F.interpolate(v, scale_factor=float(f), mode="bilinear",
-                             align_corners=False)
-
-    feats_t = torch.cat([
-        F.relu(tconv(params["conv1"], x1, 1)),
-        up(F.relu(tconv(params["conv2"], x2, 1)), 2),
-        up(F.relu(tconv(params["conv3"], x3, 1)), 4),
-        up(F.relu(tconv(params["conv4"], x4, 1)), 8)], 1)
-    score_t = torch.sigmoid(tconv(params["score_head"], feats_t, 1))
-
-    feats_j, score_j = aliked.backbone(params, jnp.asarray(img)[None])
-    np.testing.assert_allclose(
-        np.asarray(feats_j)[0], feats_t[0].permute(1, 2, 0).numpy(),
-        atol=5e-5, rtol=1e-4)
-    np.testing.assert_allclose(
-        np.asarray(score_j)[0], score_t[0, 0].numpy(), atol=2e-5)
-
-    # SDDH on a handful of keypoints
-    kpts = np.asarray([[10.0, 12.0], [30.0, 7.0], [20.0, 20.0]],
-                      np.float32)
-    fmap = feats_t[0].permute(1, 2, 0).numpy()
-    got = np.asarray(aliked.sddh(params, jnp.asarray(fmap),
-                                 jnp.asarray(kpts), sizes["M"]))
-
-    # torch restatement of our SDDH contract
-    P = aliked.PATCH
-    r = P // 2
-    h, w, dim = fmap.shape
-    fm = torch.from_numpy(fmap)
-    patches = []
-    for kx, ky in kpts:
-        ix = np.clip(np.arange(int(kx) - r, int(kx) + r + 1), 0, w - 1)
-        iy = np.clip(np.arange(int(ky) - r, int(ky) + r + 1), 0, h - 1)
-        patches.append(fm[torch.from_numpy(iy)][:, torch.from_numpy(ix)]
-                       .reshape(-1))
-    patches = torch.stack(patches)
-    offs = torch.tanh(patches @ t(params["offset_head"]["w"])
-                      + t(params["offset_head"]["b"]))
-    offs = offs.reshape(-1, sizes["M"], 2) * (2 * r)
-    sample_xy = torch.from_numpy(kpts)[:, None] + offs
-    gx = sample_xy[..., 0].clamp(0, w - 1.001)
-    gy = sample_xy[..., 1].clamp(0, h - 1.001)
-    x0, y0 = gx.floor().long(), gy.floor().long()
-    wx = (gx - x0)[..., None]
-    wy = (gy - y0)[..., None]
-    samples = (fm[y0, x0] * (1 - wx) * (1 - wy)
-               + fm[y0, x0 + 1] * wx * (1 - wy)
-               + fm[y0 + 1, x0] * (1 - wx) * wy
-               + fm[y0 + 1, x0 + 1] * wx * wy)
-    samples = F.relu(samples @ t(params["sample_proj"]["w"])
-                     + t(params["sample_proj"]["b"]))
-    desc = samples.reshape(len(kpts), -1) @ t(params["agg"]["w"]) \
-        + t(params["agg"]["b"])
-    desc = F.normalize(desc, p=2, dim=-1).numpy()
-    np.testing.assert_allclose(got, desc, atol=5e-5, rtol=1e-4)
-
 
 # ---------------------------------------------------------------------------
 # EfficientLoFTR: fused RepVGG stage (single 3×3 conv + ReLU per block,

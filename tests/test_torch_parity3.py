@@ -426,6 +426,188 @@ def test_sold2_network_parity():
                                atol=2e-4, rtol=1e-3)
 
 
+# ---------------------------------------------------------------------------
+# Deformable conv (ops/deform.py) — torchvision.ops.deform_conv2d
+# semantics (offset channels (Δy, Δx) per tap row-major, zero-padded
+# bilinear sampling, stride 1 / pad k//2), restated in torch via
+# F.grid_sample per kernel tap (torchvision itself is not in the image;
+# grid_sample with align_corners=True + zeros padding is the same
+# sampling kernel deform_conv2d uses).
+# ---------------------------------------------------------------------------
+
+
+def torch_deform_conv2d(x, offsets, w, b):
+    """x (N,C,H,W), offsets (N,2·kh·kw,H,W), w (Cout,Cin,kh,kw)."""
+    import torch.nn.functional as F
+
+    n, cin, h, ww = x.shape
+    cout, _, kh, kw = w.shape
+    norm = torch.tensor([max(ww - 1, 1), max(h - 1, 1)],
+                        dtype=torch.float32)
+    ys = torch.arange(h, dtype=torch.float32).view(1, h, 1)
+    xs = torch.arange(ww, dtype=torch.float32).view(1, 1, ww)
+    out = torch.zeros(n, cout, h, ww)
+    for i in range(kh):
+        for j in range(kw):
+            k = i * kw + j
+            py = ys + (i - kh // 2) + offsets[:, 2 * k]
+            px = xs + (j - kw // 2) + offsets[:, 2 * k + 1]
+            grid = torch.stack([px, py], -1) / norm * 2 - 1  # (N,H,W,2)
+            samp = F.grid_sample(x, grid, mode="bilinear",
+                                 padding_mode="zeros",
+                                 align_corners=True)
+            out = out + torch.einsum("nchw,dc->ndhw", samp, w[:, :, i, j])
+    return out + b.view(1, -1, 1, 1)
+
+
+def test_deform_conv2d_parity():
+    from imcui_tpu.ops.deform import deform_conv2d
+
+    rng = np.random.default_rng(19)
+    x = rng.normal(size=(2, 9, 11, 6)).astype(np.float32)
+    offsets = rng.normal(size=(2, 9, 11, 18), scale=1.5).astype(np.float32)
+    w = rng.normal(size=(3, 3, 6, 4), scale=0.2).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+
+    want = torch_deform_conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(offsets).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(3, 2, 0, 1).contiguous(),
+        torch.from_numpy(b),
+    ).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offsets),
+                                   jnp.asarray(w), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ALIKED — published design (Shiaoming/ALIKED): SELU gate, AvgPool
+# 2/4/4 pyramid (strides 1, 1/2, 1/8, 1/32), BN ConvBlock/ResBlocks
+# with deformable convs in blocks 3-4, align-corners aggregation,
+# 4-conv bias-free score head, dense L2 feature normalisation, SDDH
+# with conv-based offset prediction.
+# ---------------------------------------------------------------------------
+
+
+def torch_aliked_backbone(sd, img):
+    import torch.nn.functional as F
+
+    x = torch.from_numpy(img).permute(2, 0, 1)[None]
+    gate = F.selu
+
+    def conv(prefix, x, bias=True, stride=1):
+        w = _t(sd, f"{prefix}.weight")
+        b = _t(sd, f"{prefix}.bias") if bias else None
+        return F.conv2d(x, w, b, stride=stride, padding=w.shape[-1] // 2)
+
+    def dcn(prefix, x):
+        h, w_ = x.shape[-2:]
+        max_offset = max(h, w_) / 4.0
+        off = conv(f"{prefix}.offset_conv", x).clamp(-max_offset,
+                                                     max_offset)
+        w = _t(sd, f"{prefix}.regular_conv.weight")
+        return torch_deform_conv2d(x, off, w,
+                                   torch.zeros(w.shape[0]))
+
+    def conv_block(prefix, x):
+        x = gate(_torch_bn(sd, f"{prefix}.bn1",
+                           conv(f"{prefix}.conv1", x, bias=False)))
+        return gate(_torch_bn(sd, f"{prefix}.bn2",
+                              conv(f"{prefix}.conv2", x, bias=False)))
+
+    def res_block(prefix, x, deform=False):
+        op = dcn if deform else (lambda p, v: conv(p, v, bias=False))
+        y = gate(_torch_bn(sd, f"{prefix}.bn1",
+                           op(f"{prefix}.conv1", x)))
+        y = _torch_bn(sd, f"{prefix}.bn2", op(f"{prefix}.conv2", y))
+        return gate(y + conv(f"{prefix}.downsample", x))
+
+    x1 = conv_block("block1", x)
+    x2 = res_block("block2", F.avg_pool2d(x1, 2, 2))
+    x3 = res_block("block3", F.avg_pool2d(x2, 4, 4), deform=True)
+    x4 = res_block("block4", F.avg_pool2d(x3, 4, 4), deform=True)
+
+    hw = x.shape[-2:]
+
+    def agg(prefix, feat):
+        y = gate(conv(prefix, feat, bias=False))
+        if y.shape[-2:] != hw:
+            y = F.interpolate(y, size=hw, mode="bilinear",
+                              align_corners=True)
+        return y
+
+    feats = torch.cat([agg("conv1", x1), agg("conv2", x2),
+                       agg("conv3", x3), agg("conv4", x4)], 1)
+
+    s = gate(conv("score_head.0", feats, bias=False))
+    s = gate(conv("score_head.2", s, bias=False))
+    s = gate(conv("score_head.4", s, bias=False))
+    score = torch.sigmoid(conv("score_head.6", s, bias=False))
+
+    fmap = F.normalize(feats, p=2, dim=1)
+    return fmap[0].permute(1, 2, 0).numpy(), score[0, 0].numpy()
+
+
+def torch_aliked_sddh(sd, fmap, kpts, K, M):
+    import torch.nn.functional as F
+
+    h, w, dim = fmap.shape
+    fm = torch.from_numpy(fmap).permute(2, 0, 1)[None]
+    max_offset = max(h, w) / 4.0
+    r = K // 2
+    descs = []
+    for kx, ky in kpts:
+        ix = np.clip(np.arange(int(kx) - r, int(kx) + r + 1), 0, w - 1)
+        iy = np.clip(np.arange(int(ky) - r, int(ky) + r + 1), 0, h - 1)
+        patch = fm[0][:, torch.from_numpy(iy)][:, :, torch.from_numpy(ix)]
+        o = F.conv2d(patch[None], _t(sd, "desc_head.offset_conv.0.weight"),
+                     _t(sd, "desc_head.offset_conv.0.bias"))
+        o = F.selu(o)
+        o = F.conv2d(o, _t(sd, "desc_head.offset_conv.2.weight"),
+                     _t(sd, "desc_head.offset_conv.2.bias"))
+        off = o.clamp(-max_offset, max_offset).reshape(M, 2)
+        pos = torch.tensor([float(kx), float(ky)]) + off  # (M, 2) xy
+        grid = pos / torch.tensor([w - 1.0, h - 1.0]) * 2 - 1
+        samp = F.grid_sample(fm, grid[None, None], mode="bilinear",
+                             align_corners=True)[0, :, 0]  # (C, M)
+        # upstream: sf_conv on (N, C, n_pos, 1), squeeze, C-major flatten
+        samp = F.selu(F.conv2d(samp[None, :, :, None],
+                               _t(sd, "desc_head.sf_conv.weight")))
+        samp = samp.squeeze(-1).reshape(1, dim * M)
+        d = F.conv2d(samp[..., None, None],
+                     _t(sd, "desc_head.convM.weight"))
+        descs.append(F.normalize(d.reshape(1, -1), p=2, dim=1)[0])
+    return torch.stack(descs).numpy()
+
+
+def test_aliked_published_parity():
+    from imcui_tpu.models.extractors import aliked
+
+    rng = np.random.default_rng(21)
+    sizes = aliked.SIZES["aliked-t16"]
+    params = _randomize(
+        aliked.init_params(jax.random.PRNGKey(0), **sizes), rng,
+        scale=0.1)
+    sd = tree_to_state_dict(params)
+
+    img = rng.uniform(size=(64, 96, 3)).astype(np.float32)
+    want_fmap, want_score = torch_aliked_backbone(sd, img)
+    got_fmap, got_score = aliked.backbone(params, jnp.asarray(img)[None])
+    np.testing.assert_allclose(np.asarray(got_score[0]), want_score,
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_fmap[0]), want_fmap,
+                               atol=2e-4, rtol=1e-3)
+
+    kpts = np.asarray([[10.0, 12.0], [30.0, 7.0], [20.0, 20.0],
+                       [63.0, 50.0]], np.float32)
+    want_desc = torch_aliked_sddh(sd, want_fmap, kpts, sizes["K"],
+                                  sizes["M"])
+    got_desc = np.asarray(aliked.sddh(params, got_fmap[0],
+                                      jnp.asarray(kpts), sizes["K"],
+                                      sizes["M"]))
+    np.testing.assert_allclose(got_desc, want_desc, atol=5e-4, rtol=1e-3)
+
+
 def test_alike_descriptor_sampling_vs_grid_sample():
     """ALIKE samples the dense map at keypoints with grid_sample
     align_corners=True after kpts/[w-1,h-1]*2-1 normalisation — on a

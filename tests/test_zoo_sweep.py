@@ -38,6 +38,20 @@ def small_preprocessing(conf):
     return out
 
 
+@pytest.fixture(autouse=True)
+def _clear_caches_per_entry():
+    """Each zoo entry compiles its own multi-MB programs; clearing per
+    test (not just per module) keeps the sweep's RSS flat — see
+    conftest._bounded_compile_cache for the crash this bounds."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.mark.parametrize("key", KEYS)
 def test_zoo_entry(key):
     conf = small_preprocessing(ZOO[key])
