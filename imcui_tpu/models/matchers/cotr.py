@@ -3,17 +3,32 @@
 Reference contract: imcui/hloc/matchers/cotr.py:25-90 — standalone matcher
 {image0, image1} → correspondences for a grid of query points
 (max_keypoints, match_threshold); the reference stitches both images side
-by side, runs a ResNet50-layer3 + transformer encoder-decoder, and decodes
-each query coordinate into its correspondence in the other image
+by side and decodes each query coordinate into its correspondence
 (functional correspondence: f(query x) → x').
 
-TPU-first: the side-by-side functional formulation survives intact — it
-is a fixed-size token problem. A conv trunk at /16 over the concatenated
-canvas feeds a 2-layer transformer encoder; decoder queries are a fixed
-G×G grid of points in image0 encoded with sine embeddings; each decoder
-output regresses its normalised correspondence + a confidence (cycle
-consistency f(f(x)) ≈ x supplies the confidence at inference, batched as
-one second decoder pass — no per-query host loops).
+The network is the published COTR model (ubc-vision/COTR
+cotr_model.py — a DETR-derived encoder/decoder), keyed to the
+``checkpoint.pth.tar`` state_dict naming and pinned by the torch
+restatement fixture in tests/test_torch_parity3.py:
+
+- ``backbone.0.body``: torchvision ResNet50 (frozen BN) through layer3
+  → 1024-ch stride-16 features over the stitched 256×512 canvas;
+- ``input_proj``: 1×1 conv 1024 → 256;
+- positions: NerfPositionalEncoding('lin_sine', depth 64) — interleaved
+  cat([sin(kπx), sin(kπy)]_{k=1..64} ++ [cos(kπx), cos(kπy)]_{k=1..64})
+  of the (x+0.5)/W, (y+0.5)/H feature-grid coords (PositionEmbeddingNeRF
+  cumsum convention); queries use the SAME encoding on their [0,1]²
+  canvas coords (query_proj has no learned params);
+- ``transformer``: DETR post-norm, 6 encoder + 6 decoder layers, d=256,
+  8 heads, FFN 1024, ReLU; fused-qkv nn.MultiheadAttention layouts
+  (in_proj/out_proj); decoder ends with ``decoder.norm``;
+- ``corr_embed``: 3-layer MLP 256 → 256 → 256 → 2 regressing the
+  canvas-normalised correspondence.
+
+TPU-first inference: the reference's recursive zoom-in SparseEngine is
+replaced by one fixed-size pass — a G×G query grid over the left half
+plus a second batched decoder pass for cycle-consistency confidence
+(f(f(x)) ≈ x), no per-query host loops, static shapes throughout.
 """
 
 import functools
@@ -23,130 +38,206 @@ import jax.numpy as jnp
 
 from ...utils.base_model import BaseModel
 from ...utils.weights import load_params_auto
-from ..layers import (batch_norm_inference, conv2d, init_conv, init_linear,
-                      init_layer_norm, layer_norm, linear, max_pool, relu)
+from ..backbones.resnet import init_resnet
+from ..layers import (conv2d, init_conv, init_layer_norm, init_linear,
+                      layer_norm, linear, relu)
 
 D_MODEL = 256
-N_ENC = 2
-N_DEC = 2
+N_ENC = 6
+N_DEC = 6
 NHEAD = 8
-GRID = 16  # G×G query grid → 256 queries
+D_FFN = 1024
+NERF_DEPTH = 64  # hidden_dim // 4
+GRID = 16        # G×G query grid → 256 queries
+SIZE = 256       # per-image canvas tile (COTR inference resolution)
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
 
 
-def init_bn(c):
-    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
-            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
-
-
-def _cbr(key, cin, cout):
-    return {"conv": init_conv(key, 3, 3, cin, cout, bias=False),
-            "bn": init_bn(cout)}
-
-
-def init_xattn(key, d):
-    k = jax.random.split(key, 6)
+def init_mha(key, d):
+    k1, k2 = jax.random.split(key)
     return {
-        "q": init_linear(k[0], d, d), "kv": init_linear(k[1], d, 2 * d),
-        "proj": init_linear(k[2], d, d),
-        "ffn1": init_linear(k[3], d, 4 * d),
-        "ffn2": init_linear(k[4], 4 * d, d),
-        "ln1": init_layer_norm(d), "ln2": init_layer_norm(d),
+        "in_proj": init_linear(k1, d, 3 * d),
+        "out_proj": init_linear(k2, d, d),
+    }
+
+
+def init_enc_layer(key, d):
+    k = jax.random.split(key, 3)
+    return {
+        "self_attn": init_mha(k[0], d),
+        "linear1": init_linear(k[1], d, D_FFN),
+        "linear2": init_linear(k[2], D_FFN, d),
+        "norm1": init_layer_norm(d),
+        "norm2": init_layer_norm(d),
+    }
+
+
+def init_dec_layer(key, d):
+    k = jax.random.split(key, 4)
+    return {
+        "self_attn": init_mha(k[0], d),
+        "multihead_attn": init_mha(k[1], d),
+        "linear1": init_linear(k[2], d, D_FFN),
+        "linear2": init_linear(k[3], D_FFN, d),
+        "norm1": init_layer_norm(d),
+        "norm2": init_layer_norm(d),
+        "norm3": init_layer_norm(d),
     }
 
 
 def init_params(rng):
     keys = jax.random.split(rng, 8)
     return {
-        "trunk": [_cbr(keys[0], 3, 64), _cbr(keys[1], 64, 128),
-                  _cbr(keys[2], 128, 256), _cbr(keys[3], 256, D_MODEL)],
-        "enc": [init_xattn(k, D_MODEL)
-                for k in jax.random.split(keys[4], N_ENC)],
-        "dec": [init_xattn(k, D_MODEL)
-                for k in jax.random.split(keys[5], N_DEC)],
-        "query_embed": init_linear(keys[6], 4 * 32, D_MODEL),
-        "head": init_linear(keys[7], D_MODEL, 3),  # (x', y', logit)
+        "backbone": init_resnet(keys[0], "resnet50"),
+        "input_proj": init_conv(keys[1], 1, 1, 1024, D_MODEL),
+        "transformer": {
+            "encoder": {"layers": {
+                str(i): init_enc_layer(k, D_MODEL)
+                for i, k in enumerate(jax.random.split(keys[2], N_ENC))
+            }},
+            "decoder": {
+                "layers": {
+                    str(i): init_dec_layer(k, D_MODEL)
+                    for i, k in enumerate(jax.random.split(keys[3],
+                                                           N_DEC))
+                },
+                "norm": init_layer_norm(D_MODEL),
+            },
+        },
+        "corr_embed": {"layers": {
+            "0": init_linear(keys[4], D_MODEL, D_MODEL),
+            "1": init_linear(keys[5], D_MODEL, D_MODEL),
+            "2": init_linear(keys[6], D_MODEL, 2),
+        }},
     }
 
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
-    return load_params_auto("cotr/" + conf.get("model_name",
-                                           "checkpoint.pth.tar"), init, "cotr")
+    return load_params_auto(
+        "cotr/" + conf.get("model_name", "checkpoint.pth.tar"), init,
+        "cotr",
+        rename=(
+            (r"^model\.", ""),
+            (r"^backbone\.0\.body\.", "backbone."),
+            (r"in_proj_weight$", "in_proj.weight"),
+            (r"in_proj_bias$", "in_proj.bias"),
+        ),
+        drop=(r"query_proj", r"backbone\.1"),
+    )
 
 
-def sine_embed(xy, dim=32):
-    """(N, 2) normalised coords → (N, 4·dim) sine features."""
-    freqs = 2.0 ** jnp.arange(dim // 2, dtype=jnp.float32) * jnp.pi
-    ang = xy[..., None] * freqs  # (N, 2, dim/2)
-    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], -1)  # (N, 2, dim)
-    return emb.reshape(xy.shape[0], -1).repeat(2, -1)[:, :4 * 32]
+def nerf_encode(xy):
+    """(N, 2) [0,1] coords → (N, 4·depth) 'lin_sine' NeRF features with
+    the upstream cat order: [sin(kπ·(x,y))]_{k=1..D} ++ [cos(kπ·(x,y))]."""
+    bases = jnp.arange(1, NERF_DEPTH + 1, dtype=jnp.float32) * jnp.pi
+    ang = xy[:, None, :] * bases[None, :, None]      # (N, D, 2)
+    sin = jnp.sin(ang).reshape(xy.shape[0], -1)      # sin(kπx), sin(kπy)
+    cos = jnp.cos(ang).reshape(xy.shape[0], -1)
+    return jnp.concatenate([sin, cos], -1)
 
 
-def xattn(p, x, source):
-    d = x.shape[-1]
+def mha(p, q, k, v):
+    """nn.MultiheadAttention (fused in_proj, post out_proj)."""
+    d = q.shape[-1]
     dh = d // NHEAD
-    q = linear(p["q"], x).reshape(-1, NHEAD, dh)
-    kv = linear(p["kv"], source)
-    k = kv[:, :d].reshape(-1, NHEAD, dh)
-    v = kv[:, d:].reshape(-1, NHEAD, dh)
-    logits = jnp.einsum("nhd,mhd->hnm", q, k,
+    w = p["in_proj"]["w"]  # (d, 3d)
+    b = p["in_proj"]["b"]
+    qp = (q @ w[:, :d] + b[:d]).reshape(-1, NHEAD, dh)
+    kp = (k @ w[:, d:2 * d] + b[d:2 * d]).reshape(-1, NHEAD, dh)
+    vp = (v @ w[:, 2 * d:] + b[2 * d:]).reshape(-1, NHEAD, dh)
+    logits = jnp.einsum("nhd,mhd->hnm", qp, kp,
                         preferred_element_type=jnp.float32) / dh ** 0.5
     attn = jax.nn.softmax(logits, -1)
-    msg = jnp.einsum("hnm,mhd->nhd", attn, v.astype(jnp.float32),
+    msg = jnp.einsum("hnm,mhd->nhd", attn, vp.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
-    x = layer_norm(p["ln1"], x + linear(
-        p["proj"], msg.reshape(x.shape[0], d).astype(x.dtype)))
-    return layer_norm(p["ln2"], x + linear(
-        p["ffn2"], relu(linear(p["ffn1"], x))))
+    return linear(p["out_proj"], msg.reshape(q.shape[0], d).astype(q.dtype))
 
 
-def trunk_tokens(params, canvas):
-    """Side-by-side canvas (H, 2W, 3) → encoder tokens with position."""
-    x = canvas[None]
-    for p in params["trunk"]:
-        x = max_pool(relu(batch_norm_inference(p["bn"],
-                                               conv2d(p["conv"], x))))
+def enc_layer(p, src, pos):
+    q = src + pos
+    src = layer_norm(p["norm1"], src + mha(p["self_attn"], q, q, src))
+    ffn = linear(p["linear2"], relu(linear(p["linear1"], src)))
+    return layer_norm(p["norm2"], src + ffn)
+
+
+def dec_layer(p, tgt, memory, pos, query_pos):
+    q = tgt + query_pos
+    tgt = layer_norm(p["norm1"], tgt + mha(p["self_attn"], q, q, tgt))
+    tgt = layer_norm(p["norm2"], tgt + mha(
+        p["multihead_attn"], tgt + query_pos, memory + pos, memory))
+    ffn = linear(p["linear2"], relu(linear(p["linear1"], tgt)))
+    return layer_norm(p["norm3"], tgt + ffn)
+
+
+def backbone_tokens(params, canvas):
+    """canvas: (SIZE, 2·SIZE, 3) ImageNet-normalised → memory tokens
+    (N, 256) + their NeRF positions."""
+    from ..backbones.resnet import (batch_norm_inference, bottleneck_block,
+                                    max_pool3_s2)
+
+    p = params["backbone"]
+    x = relu(batch_norm_inference(
+        p["bn1"], conv2d(p["conv1"], canvas[None], stride=2)))
+    x = max_pool3_s2(x)
+    for li, n in zip((1, 2, 3), (3, 4, 6)):  # through layer3 only
+        layer = p[f"layer{li}"]
+        for bi in range(n):
+            x = bottleneck_block(layer[str(bi)], x,
+                                 2 if (bi == 0 and li > 1) else 1)
+    x = conv2d(params["input_proj"], x)      # (1, h, w, 256)
     _, h, w, d = x.shape
-    gy, gx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    pos = sine_embed(jnp.stack(
-        [gx.reshape(-1) / w, gy.reshape(-1) / h], -1).astype(jnp.float32))
-    tokens = x[0].reshape(-1, d) + linear(params["query_embed"], pos)
-    return tokens
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    # PositionEmbeddingNeRF: cumsum-of-ones convention → (i + 0.5) / n
+    grid = jnp.stack([(gx.reshape(-1) + 0.5) / w,
+                      (gy.reshape(-1) + 0.5) / h], -1)
+    return x[0].reshape(-1, d), nerf_encode(grid)
 
 
-def decode(params, tokens, queries_xy):
+def decode(params, memory, pos, queries_xy):
     """Queries (N, 2) in canvas-normalised coords → (N, 2) predicted
-    correspondences + (N,) confidence logits."""
-    q = linear(params["query_embed"], sine_embed(queries_xy))
-    for p in params["dec"]:
-        q = xattn(p, q, tokens)
-    out = linear(params["head"], q)
-    return jax.nn.sigmoid(out[:, :2]), out[:, 2]
+    canvas coords."""
+    query_pos = nerf_encode(queries_xy)
+    tgt = jnp.zeros_like(query_pos)
+    dec = params["transformer"]["decoder"]
+    for i in range(N_DEC):
+        tgt = dec_layer(dec["layers"][str(i)], tgt, memory, pos,
+                        query_pos)
+    tgt = layer_norm(dec["norm"], tgt)
+    ce = params["corr_embed"]["layers"]
+    y = relu(linear(ce["0"], tgt))
+    y = relu(linear(ce["1"], y))
+    return linear(ce["2"], y)
 
 
 def forward_pair(params, image0, image1, threshold):
-    """image*: (H, W, 3) same shape. COTR canvas: [img0 | img1]."""
-    h, w = image0.shape[:2]
-    canvas = jnp.concatenate([image0, image1], 1)  # (H, 2W, 3)
-    tokens = trunk_tokens(params, canvas)
-    for p in params["enc"]:
-        tokens = xattn(p, tokens, tokens)
+    """image*: (SIZE, SIZE, 3) in [0,1]. COTR canvas: [img0 | img1]."""
+    canvas = jnp.concatenate([image0, image1], 1)
+    canvas = (canvas - IMAGENET_MEAN) / IMAGENET_STD
+    memory, pos = backbone_tokens(params, canvas)
+    enc = params["transformer"]["encoder"]
+    for i in range(N_ENC):
+        memory = enc_layer(enc["layers"][str(i)], memory, pos)
 
     gy, gx = jnp.meshgrid(
         (jnp.arange(GRID) + 0.5) / GRID, (jnp.arange(GRID) + 0.5) / GRID,
         indexing="ij")
     # queries live in the LEFT half of the canvas: x ∈ [0, 0.5)
     q0 = jnp.stack([gx.reshape(-1) * 0.5, gy.reshape(-1)], -1)
-    pred1, conf1 = decode(params, tokens, q0)
+    pred1 = decode(params, memory, pos, q0)
     # cycle consistency: map the predictions (right half) back
-    pred_back, _ = decode(params, tokens, pred1)
+    pred_back = decode(params, memory, pos, pred1)
     cycle = jnp.linalg.norm(pred_back - q0, axis=-1)
-    conf = jax.nn.sigmoid(conf1) * jnp.exp(-16.0 * cycle)
+    conf = jnp.exp(-16.0 * cycle)
 
-    # canvas-normalised → per-image pixels
-    k0 = jnp.stack([q0[:, 0] * 2 * w, q0[:, 1] * h], -1)
+    # canvas-normalised → per-image pixels (SIZE tile space)
+    k0 = jnp.stack([q0[:, 0] * 2 * SIZE, q0[:, 1] * SIZE], -1)
     x1 = jnp.clip(pred1[:, 0] - 0.5, 0.0, 0.5)  # right half
-    k1 = jnp.stack([x1 * 2 * w, pred1[:, 1] * h], -1)
+    k1 = jnp.stack([x1 * 2 * SIZE,
+                    jnp.clip(pred1[:, 1], 0.0, 1.0) * SIZE], -1)
     valid = (conf > threshold) & (pred1[:, 0] > 0.5)
     return {"keypoints0": jnp.where(valid[:, None], k0, 0.0),
             "keypoints1": jnp.where(valid[:, None], k1, 0.0),
@@ -183,16 +274,21 @@ class COTR(BaseModel):
             x = img.transpose(0, 2, 3, 1)
             if x.shape[-1] == 1:
                 x = jnp.tile(x, (1, 1, 1, 3))
-            return x
+            b = x.shape[0]
+            scale = jnp.asarray(
+                [x.shape[2] / SIZE, x.shape[1] / SIZE], jnp.float32)
+            x = jax.image.resize(x, (b, SIZE, SIZE, x.shape[-1]),
+                                 "bilinear")
+            return x, scale
 
-        i0 = prep(image0)
-        i1 = prep(image1)
-        # COTR needs a common canvas height/width
-        if i0.shape[1:3] != i1.shape[1:3]:
-            i1 = jax.image.resize(i1, i0.shape, "bilinear")
+        i0, s0 = prep(image0)
+        i1, s1 = prep(image1)
         # with random-init weights the confidence head is uncalibrated;
         # keep the conf gate but never fail closed on an untrained head
         thr = self._threshold if self.meta.get("pretrained") else 0.0
         out = _apply_batched(self.params, i0, i1, thr)
+        # SIZE-tile coords → input-image pixel coords
+        out["keypoints0"] = out["keypoints0"] * s0[None, None]
+        out["keypoints1"] = out["keypoints1"] * s1[None, None]
         out["mconf"] = out["scores"]
         return out

@@ -608,6 +608,123 @@ def test_aliked_published_parity():
     np.testing.assert_allclose(got_desc, want_desc, atol=5e-4, rtol=1e-3)
 
 
+# ---------------------------------------------------------------------------
+# COTR — published DETR-derived model (ubc-vision/COTR cotr_model.py):
+# ResNet50-layer3 trunk (restated via the fixture in
+# test_torch_parity2.test_resnet50_stem_and_bottleneck_parity), NeRF
+# 'lin_sine' positional encoding, post-norm 6+6 transformer with fused
+# nn.MultiheadAttention layouts, 3-layer corr_embed MLP. This fixture
+# pins the transformer + encoding path end-to-end on a small token set.
+# ---------------------------------------------------------------------------
+
+
+def torch_cotr_transformer(sd, memory, pos, queries):
+    import math
+
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.matchers.cotr import (N_DEC, N_ENC, NERF_DEPTH,
+                                                NHEAD)
+
+    def nerf(xy):
+        outs = [torch.sin(k * math.pi * xy) for k in
+                range(1, NERF_DEPTH + 1)]
+        outs += [torch.cos(k * math.pi * xy) for k in
+                 range(1, NERF_DEPTH + 1)]
+        return torch.cat(outs, -1)
+
+    def mha(prefix, q, k, v):
+        w = _t(sd, f"{prefix}.in_proj.weight")  # (3d, d) torch layout
+        b = _t(sd, f"{prefix}.in_proj.bias")
+        return F.multi_head_attention_forward(
+            q.unsqueeze(1), k.unsqueeze(1), v.unsqueeze(1),
+            w.shape[1], NHEAD, w, b, None, None, False, 0.0,
+            _t(sd, f"{prefix}.out_proj.weight"),
+            _t(sd, f"{prefix}.out_proj.bias"),
+            training=False, need_weights=False)[0].squeeze(1)
+
+    def ln(prefix, x):
+        return F.layer_norm(x, x.shape[-1:], _t(sd, f"{prefix}.weight"),
+                            _t(sd, f"{prefix}.bias"))
+
+    def lin(prefix, x):
+        return F.linear(x, _t(sd, f"{prefix}.weight"),
+                        _t(sd, f"{prefix}.bias"))
+
+    src = memory
+    for i in range(N_ENC):
+        p = f"transformer.encoder.layers.{i}"
+        q = src + pos
+        src = ln(f"{p}.norm1", src + mha(f"{p}.self_attn", q, q, src))
+        ffn = lin(f"{p}.linear2", F.relu(lin(f"{p}.linear1", src)))
+        src = ln(f"{p}.norm2", src + ffn)
+
+    query_pos = nerf(queries)
+    tgt = torch.zeros_like(query_pos)
+    for i in range(N_DEC):
+        p = f"transformer.decoder.layers.{i}"
+        q = tgt + query_pos
+        tgt = ln(f"{p}.norm1", tgt + mha(f"{p}.self_attn", q, q, tgt))
+        tgt = ln(f"{p}.norm2", tgt + mha(
+            f"{p}.multihead_attn", tgt + query_pos, src + pos, src))
+        ffn = lin(f"{p}.linear2", F.relu(lin(f"{p}.linear1", tgt)))
+        tgt = ln(f"{p}.norm3", tgt + ffn)
+    tgt = ln("transformer.decoder.norm", tgt)
+
+    y = F.relu(lin("corr_embed.layers.0", tgt))
+    y = F.relu(lin("corr_embed.layers.1", y))
+    return lin("corr_embed.layers.2", y).numpy()
+
+
+def test_cotr_transformer_parity():
+    from imcui_tpu.models.matchers import cotr
+
+    rng = np.random.default_rng(23)
+    params = _randomize(cotr.init_params(jax.random.PRNGKey(0)), rng,
+                        scale=0.05)
+    sd = tree_to_state_dict(params)
+
+    n_tok, n_q = 24, 7
+    memory = rng.normal(size=(n_tok, cotr.D_MODEL)).astype(np.float32)
+    grid = rng.uniform(size=(n_tok, 2)).astype(np.float32)
+    queries = rng.uniform(size=(n_q, 2)).astype(np.float32)
+
+    pos_j = cotr.nerf_encode(jnp.asarray(grid))
+    enc = params["transformer"]["encoder"]
+    mem_j = jnp.asarray(memory)
+    for i in range(cotr.N_ENC):
+        mem_j = cotr.enc_layer(enc["layers"][str(i)], mem_j, pos_j)
+    got = np.asarray(cotr.decode(params, mem_j, pos_j,
+                                 jnp.asarray(queries)))
+
+    # torch runs encoder+decoder end-to-end from the same inputs
+    want = torch_cotr_transformer(
+        sd, torch.from_numpy(memory),
+        torch.from_numpy(np.asarray(cotr.nerf_encode(jnp.asarray(grid)))),
+        torch.from_numpy(queries))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+
+def test_cotr_nerf_encoding_order():
+    """The upstream cat order is [sin(kπ(x,y))]_k ++ [cos(kπ(x,y))]_k —
+    the in_proj weights consume this ordering, so it is
+    checkpoint-load-bearing."""
+    import math
+
+    from imcui_tpu.models.matchers.cotr import NERF_DEPTH, nerf_encode
+
+    xy = np.asarray([[0.2, 0.7]], np.float32)
+    got = np.asarray(nerf_encode(jnp.asarray(xy)))[0]
+    want = []
+    for k in range(1, NERF_DEPTH + 1):
+        want += [math.sin(k * math.pi * 0.2), math.sin(k * math.pi * 0.7)]
+    for k in range(1, NERF_DEPTH + 1):
+        want += [math.cos(k * math.pi * 0.2), math.cos(k * math.pi * 0.7)]
+    # f32 sin/cos at k·π arguments up to 64π: ~1e-5 ULP noise
+    np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                               atol=2e-5)
+
+
 def test_alike_descriptor_sampling_vs_grid_sample():
     """ALIKE samples the dense map at keypoints with grid_sample
     align_corners=True after kpts/[w-1,h-1]*2-1 normalisation — on a
