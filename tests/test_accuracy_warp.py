@@ -52,6 +52,8 @@ CASES = [
     ("disk+mnn", lambda: _sparse_conf("disk"), True, 0.5, 8.0),
     ("aliked+mnn", lambda: _sparse_conf(
         "aliked", detection_threshold=0.0), True, 0.5, 8.0),
+    ("alike+mnn", lambda: _sparse_conf(
+        "alike", detection_threshold=0.0), True, 0.5, 8.0),
     ("xfeat+mnn", lambda: _sparse_conf(
         "xfeat", keypoint_threshold=0.0), True, 0.5, 8.0),
     ("r2d2+mnn", lambda: _sparse_conf(
