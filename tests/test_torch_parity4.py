@@ -528,3 +528,123 @@ def test_imp_weighted_eight_point_recovers_f():
     f2 /= np.linalg.norm(f2)
     err2 = min(np.abs(f2 - e).max(), np.abs(f2 + e).max())
     assert err2 < 1e-2, err2
+
+
+# ---------------------------------------------------------------------------
+# LANet — the three-head decode (score/sub-cell location/descriptor) over
+# the conv-BN encoder, torch restatement.
+# ---------------------------------------------------------------------------
+
+
+def test_lanet_heads_parity():
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.extractors import lanet
+
+    rng = np.random.default_rng(9)
+    p = lanet.init_params(jax.random.PRNGKey(7))
+
+    def fill(path, leaf):
+        x = rng.normal(size=leaf.shape, scale=0.3).astype(np.float32)
+        if path and path[-1] == "var":
+            x = np.abs(x) + 0.5
+        return jnp.asarray(x)
+
+    flat, tdef = jax.tree_util.tree_flatten_with_path(p)
+    p = jax.tree_util.tree_unflatten(
+        tdef, [fill([str(getattr(q, "key", q)) for q in path], leaf)
+               for path, leaf in flat])
+
+    x = rng.normal(size=(1, 32, 40, 1)).astype(np.float32) * 0.5 + 0.5
+    score, kpts, desc = lanet.heads(p, jnp.asarray(x))
+    score, kpts, desc = map(np.asarray, (score, kpts, desc))
+
+    def tconv(pp, t, stride=1):
+        wt = torch.from_numpy(np.asarray(pp["w"])).permute(3, 2, 0, 1)
+        b = (torch.from_numpy(np.asarray(pp["b"]))
+             if "b" in pp and pp["b"] is not None else None)
+        pad = pp["w"].shape[0] // 2
+        return F.conv2d(t, wt, b, stride=stride, padding=pad)
+
+    def tbn(pp, t):
+        return F.batch_norm(
+            t, torch.from_numpy(np.asarray(pp["mean"])),
+            torch.from_numpy(np.asarray(pp["var"])),
+            torch.from_numpy(np.asarray(pp["scale"])),
+            torch.from_numpy(np.asarray(pp["bias"])), training=False)
+
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    for i, blk in enumerate(p["enc"][:-1]):
+        t = torch.relu(tbn(blk["bn"], tconv(blk["conv"], t)))
+        if i in (1, 3):
+            t = F.max_pool2d(t, 2, 2)
+    t = torch.relu(tbn(p["enc"][-1]["bn"],
+                       tconv(p["enc"][-1]["conv"], t, stride=2)))
+
+    s_t = torch.sigmoid(
+        tconv(p["score"][1], torch.relu(tconv(p["score"][0], t))))
+    loc_t = torch.tanh(
+        tconv(p["loc"][1], torch.relu(tconv(p["loc"][0], t))))
+    d_t = tconv(p["desc"][0], t)
+    d_t = d_t / torch.clamp(d_t.norm(dim=1, keepdim=True), min=1e-8)
+
+    hc, wc = s_t.shape[-2:]
+    gy, gx = np.meshgrid(np.arange(hc), np.arange(wc), indexing="ij")
+    centers = np.stack([gx, gy], -1).astype(np.float32) * lanet.CELL \
+        + lanet.CELL / 2
+    want_kpts = centers[None] + \
+        loc_t.permute(0, 2, 3, 1).numpy() * (lanet.CELL / 2)
+
+    np.testing.assert_allclose(score, s_t[:, 0].numpy(), atol=1e-5)
+    np.testing.assert_allclose(kpts, want_kpts, atol=1e-4)
+    np.testing.assert_allclose(desc, d_t.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DarkFeat — ASLFeat-style peakiness detection score (spatial x channel
+# softplus peakiness with a zero-padded window mean), torch restatement.
+# ---------------------------------------------------------------------------
+
+
+def test_darkfeat_peakiness_parity():
+    import torch.nn.functional as F
+
+    from imcui_tpu.models.extractors.darkfeat import peakiness
+
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(1, 12, 16, 8)).astype(np.float32)
+    got = np.asarray(peakiness(jnp.asarray(x)))
+
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    avg = F.avg_pool2d(t, 3, stride=1, padding=1, count_include_pad=True)
+    alpha = F.softplus(t - avg)
+    beta = F.softplus(t - t.mean(dim=1, keepdim=True))
+    want = (alpha * beta).max(dim=1).values.numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# REKD — C4 group-equivariance property: the orientation-invariant
+# detection score must commute with a 90 degree rotation of the input
+# (stride-1 convs with symmetric padding + 2x2 pooling on even dims keep
+# the equivariance exact; this pins _rot_kernel/group_conv/cyclic-shift
+# conventions end to end).
+# ---------------------------------------------------------------------------
+
+
+def test_rekd_rotation_equivariance():
+    from imcui_tpu.models.extractors import rekd
+
+    rng = np.random.default_rng(11)
+    p = rekd.init_params(jax.random.PRNGKey(8))
+    p = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape, scale=0.3),
+                              jnp.float32), p)
+    img = jnp.asarray(rng.normal(size=(1, 24, 24, 1)).astype(np.float32))
+
+    score, _ = rekd.backbone(p, img)
+    score_rot, _ = rekd.backbone(p, jnp.rot90(img, 1, axes=(1, 2)))
+    np.testing.assert_allclose(np.asarray(score_rot),
+                               np.rot90(np.asarray(score), 1, axes=(1, 2)),
+                               atol=1e-4)
