@@ -20,7 +20,11 @@ zoo families that still had only structural round-trips:
   numpy f64 restatement,
 - OmniGlue's DINO-guidance GNN layer (cross attention with an additive
   foundation-similarity bias + concat-MLP residual) against a torch
-  restatement with identical weights.
+  restatement with identical weights,
+- GeM pooling (the retrieval heads of cosplace/eigenplaces/dir) against
+  the published torch formulation clamp(x, eps).pow(p).mean().pow(1/p),
+- FIRe's LIT iterative super-feature attention (query-axis softmax +
+  mass renormalisation + LN residual) against an f64 restatement.
 """
 
 import jax
@@ -253,3 +257,67 @@ def test_omniglue_gnn_bias_layer_parity():
     ref = xn + _linear_np(pn["mlp"]["2"],
                           np.maximum(_linear_np(pn["mlp"]["0"], cat), 0.0))
     np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# GeM pooling — the retrieval head shared by cosplace/eigenplaces/dir.
+# Published torch form: x.clamp(min=eps).pow(p).mean((-2, -1)).pow(1/p).
+# ---------------------------------------------------------------------------
+
+
+def test_gem_pool_parity():
+    from imcui_tpu.models.backbones.resnet import gem_pool
+
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((2, 5, 7, 16)) * 2.0).astype(np.float32)
+    for p in (3.0, 1.0, 4.6):
+        out = np.asarray(gem_pool(jnp.asarray(x), p=p))
+        tx = torch.from_numpy(x).double().permute(0, 3, 1, 2)  # NCHW
+        ref = tx.clamp(min=1e-6).pow(p).mean((-2, -1)).pow(1.0 / p)
+        np.testing.assert_allclose(out, ref.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# FIRe — LIT iterative super-feature attention: K learned queries
+# cross-attend to the token map, softmax over the QUERY axis (each
+# location votes for its best super-feature), per-query mass
+# renormalisation, LN residual update, final L2 norm + mass weighting.
+# ---------------------------------------------------------------------------
+
+
+def test_fire_superfeatures_parity():
+    from imcui_tpu.models.extractors.fire import (DIM, N_ITER, N_SUPER,
+                                                  superfeatures)
+    from imcui_tpu.models.layers import init_layer_norm, init_linear
+
+    keys = jax.random.split(jax.random.PRNGKey(13), 4)
+    params = {
+        "queries": jax.random.normal(keys[0], (N_SUPER, DIM)) * 0.02,
+        "q_proj": init_linear(keys[1], DIM, DIM),
+        "k_proj": init_linear(keys[2], DIM, DIM),
+        "v_proj": init_linear(keys[3], DIM, DIM),
+        "ln": init_layer_norm(DIM),
+    }
+    params["ln"]["scale"] = params["ln"]["scale"] * 1.1 + 0.05
+    fmap = jax.random.normal(jax.random.PRNGKey(14), (1, 6, 8, DIM))
+
+    sf, mass = jax.jit(superfeatures)(params, fmap)
+    sf = np.asarray(sf)[0]
+    mass = np.asarray(mass)[0]
+
+    pn = _np(params)
+    tokens = np.asarray(fmap, np.float64)[0].reshape(-1, DIM)
+    k = _linear_np(pn["k_proj"], tokens)
+    v = _linear_np(pn["v_proj"], tokens)
+    q = pn["queries"].copy()
+    ref_mass = None
+    for _ in range(N_ITER):
+        logits = _linear_np(pn["q_proj"], q) @ k.T / np.sqrt(DIM)
+        e = np.exp(logits - logits.max(0, keepdims=True))
+        attn = e / e.sum(0, keepdims=True)          # softmax over queries
+        attn = attn / np.maximum(attn.sum(-1, keepdims=True), 1e-6)
+        q = _layer_norm_np(pn["ln"], q + attn @ v)
+        ref_mass = attn.sum(-1)
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+    np.testing.assert_allclose(sf, q, atol=5e-5)
+    np.testing.assert_allclose(mass, ref_mass, atol=5e-5)
