@@ -153,6 +153,31 @@ def shard_duster_params(params, mesh):
     return out
 
 
+def shard_roma_params(params, mesh):
+    """RoMa (DINOv2+GP architecture): the DINOv2 encoder blocks and the
+    embedding-decoder ViT blocks go tensor-parallel over ``model`` (they
+    carry ~80% of the parameters and the token-mixing matmuls); the GP,
+    VGG pyramid and conv refiners replicate — they are conv- and
+    gather-dominated, and GSPMD keeps the dp axis over pairs. Layouts
+    are placement hints: XLA inserts the collectives, so any mesh shape
+    stays exact (pinned by tests/test_parallel.py)."""
+    if mesh.shape["model"] == 1:
+        return replicate(params, mesh)
+    out = {}
+    for k, v in params.items():
+        if k == "dinov2":
+            out[k] = {kk: (shard_vit_params(vv, mesh) if kk == "blocks"
+                           else replicate(vv, mesh))
+                      for kk, vv in v.items()}
+        elif k == "embedding_decoder":
+            out[k] = {kk: (shard_vit_params(vv, mesh) if kk == "blocks"
+                           else replicate(vv, mesh))
+                      for kk, vv in v.items()}
+        else:
+            out[k] = replicate(v, mesh)
+    return out
+
+
 def pad_batch_to(tree, batch):
     """Pad every leaf's leading axis up to ``batch`` (serving: fill the
     last partial pair-batch so the compiled shape is reused)."""

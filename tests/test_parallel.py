@@ -143,3 +143,31 @@ def test_duster_tp_exactness(eight_devices):
     np.testing.assert_allclose(
         np.asarray(got["scores"]), np.asarray(ref["scores"]),
         rtol=1e-3, atol=1e-4)
+
+
+def test_roma_tp_exactness(eight_devices):
+    """RoMa tier (VERDICT r2 heavy-tier scaling axis): the published
+    DINOv2+GP architecture at the tiny variant, sharded dp=2 × tp=2
+    (DINOv2 + embedding-decoder blocks megatron-split, refiners
+    replicated), must match the single-device run."""
+    from imcui_tpu.models.matchers import roma as roma_mod
+
+    conf = {"dinov2_variant": "test", "gp_dim": 512}
+    conf_key = tuple(sorted(conf.items()))
+    params = roma_mod.init_params(jax.random.PRNGKey(0), conf)
+    imgs0 = jax.random.uniform(jax.random.PRNGKey(1), (2, 112, 112, 3))
+    imgs1 = jax.random.uniform(jax.random.PRNGKey(2), (2, 112, 112, 3))
+
+    ref = roma_mod._apply_batched(params, imgs0, imgs1, 32, conf_key)
+
+    mesh = mesh_lib.make_mesh(4, model_parallel=2)
+    sparams = mesh_lib.shard_roma_params(params, mesh)
+    s0, s1 = mesh_lib.shard_batch([imgs0, imgs1], mesh)
+    with mesh:
+        got = roma_mod._apply_batched(sparams, s0, s1, 32, conf_key)
+    np.testing.assert_allclose(
+        np.asarray(got["keypoints0"]), np.asarray(ref["keypoints0"]),
+        atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(ref["scores"]),
+        rtol=1e-3, atol=1e-4)
