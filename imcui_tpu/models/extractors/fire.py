@@ -89,10 +89,13 @@ def superfeatures(params, fmap):
         # template-style normalisation: softmax over the QUERY axis so
         # each location votes for its best-matching super-feature
         attn = jax.nn.softmax(logits / jnp.sqrt(d), axis=1)
-        attn = attn / jnp.maximum(attn.sum(-1, keepdims=True), 1e-6)
+        # importance = how much total location mass voted for each
+        # query, measured BEFORE the per-query renormalisation below
+        # (afterwards every row sums to 1 by construction)
+        mass = attn.sum(-1)
+        attn = attn / jnp.maximum(mass[..., None], 1e-6)
         q = layer_norm(params["ln"], q + jnp.einsum(
             "bkn,bnd->bkd", attn, v, preferred_element_type=jnp.float32))
-        mass = attn.sum(-1)
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
     return q, mass
 

@@ -100,8 +100,10 @@ def lisrd_match(desc0, desc1, meta0, meta1, mask0, mask1):
     mutual = jnp.arange(sims.shape[0]) == jnp.take(nn10, nn01)
     scores = jnp.max(sims, 1)
     valid = mutual & mask0 & (scores > -1e8)
+    # the reference reports the raw weighted cosine as mconf
+    # (lisrd.py:137-149 _compute_confidence) — no [0,1] rescale
     return (jnp.where(valid, nn01, -1).astype(jnp.int32),
-            jnp.where(valid, (scores + 1) / 2, 0.0))
+            jnp.where(valid, scores, 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -288,7 +288,17 @@ def select_keypoints(heat, valid_wh, k, threshold, radius=4, border=4,
                              interpret=interpret)
     wc = ww // 4
     flat = cmax.reshape(b, -1)
-    kscores, idx = lax.approx_max_k(flat, k, recall_target=0.99)
+    if k < flat.shape[1]:
+        kscores, idx = lax.approx_max_k(flat, k, recall_target=0.99)
+    else:
+        # small image / large k: fewer 4×4 cells than requested
+        # keypoints — take every cell (padded with -inf beyond the
+        # grid) so the threshold mask below zeroes the excess slots
+        pad = k - flat.shape[1]
+        flat = jnp.pad(flat, ((0, 0), (0, pad)),
+                       constant_values=-jnp.inf)
+        kscores, idx = lax.top_k(flat, k)
+        idx = jnp.minimum(idx, wc * (hh // 4) - 1)
     sub = jnp.take_along_axis(csub.reshape(b, -1), idx, axis=1)
     cy = (idx // wc).astype(jnp.float32)
     cx = (idx % wc).astype(jnp.float32)

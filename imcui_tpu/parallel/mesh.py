@@ -165,11 +165,7 @@ def shard_roma_params(params, mesh):
         return replicate(params, mesh)
     out = {}
     for k, v in params.items():
-        if k == "dinov2":
-            out[k] = {kk: (shard_vit_params(vv, mesh) if kk == "blocks"
-                           else replicate(vv, mesh))
-                      for kk, vv in v.items()}
-        elif k == "embedding_decoder":
+        if k in ("dinov2", "embedding_decoder"):
             out[k] = {kk: (shard_vit_params(vv, mesh) if kk == "blocks"
                            else replicate(vv, mesh))
                       for kk, vv in v.items()}

@@ -118,6 +118,31 @@ def test_pallas_nms_cellmax_matches_xla_chain():
             assert got == rmax[cy, cx], (cy, cx)
 
 
+def test_select_keypoints_k_exceeds_cell_count():
+    """select_keypoints must survive k >= number of 4x4 cells (small
+    image + large max_keypoints, e.g. LISRD's SuperPoint detector at
+    2048 kpts on a 128px input): every cell is returned and the excess
+    slots come back masked with finite scores."""
+    from imcui_tpu.ops import pallas_nms
+
+    rng = np.random.default_rng(5)
+    heat = jnp.asarray(rng.uniform(0, 1, (2, 128, 128)).astype(np.float32))
+    valid_wh = jnp.tile(jnp.asarray([[128, 128]], jnp.int32), (2, 1))
+    k = 2048  # cells: (128/4)**2 = 1024 < k (the LISRD default config)
+    kpts, scores, mask = pallas_nms.select_keypoints(
+        heat, valid_wh, k, threshold=0.005, interpret=True)
+    kpts, scores, mask = map(np.asarray, (kpts, scores, mask))
+    assert kpts.shape == (2, k, 2) and scores.shape == (2, k)
+    assert np.isfinite(scores).all() and np.isfinite(kpts).all()
+    assert mask.sum(1).max() <= 1024  # no more than one kpt per cell
+    assert mask.sum() > 0
+    assert (scores[~mask] == 0).all() and (kpts[~mask] == 0).all()
+    # exact-k edge: k == cell count goes through the same dense path
+    kpts2, scores2, mask2 = pallas_nms.select_keypoints(
+        heat, valid_wh, 1024, threshold=0.005, interpret=True)
+    assert np.isfinite(np.asarray(scores2)).all()
+
+
 def test_roma_local_correlation_paths_agree():
     """The all-pairs-MXU local correlation (coarse scales) must equal
     the per-offset gather formulation — same grid_sample(zeros,

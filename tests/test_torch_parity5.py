@@ -100,10 +100,11 @@ def test_lisrd_meta_weighted_matcher_parity():
     ref_pairs = {(int(i), int(nn12[i])) for i in valid_ids}
     got_pairs = {(i, int(matches[i])) for i in range(n0) if matches[i] >= 0}
     assert got_pairs == ref_pairs
-    # confidence: the JAX path reports (weighted cosine + 1) / 2
+    # confidence: the raw weighted cosine, exactly the reference's
+    # mconf (_compute_confidence, imcui/hloc/matchers/lisrd.py:137-149)
     for i, j in ref_pairs:
-        ref_conf = (float(sims[i, j]) + 1.0) / 2.0
-        np.testing.assert_allclose(scores[i], ref_conf, atol=2e-5)
+        np.testing.assert_allclose(scores[i], float(sims[i, j]),
+                                   atol=2e-5)
     # masked query slots never match
     assert (matches[~mask0] == -1).all()
 
@@ -315,9 +316,14 @@ def test_fire_superfeatures_parity():
         logits = _linear_np(pn["q_proj"], q) @ k.T / np.sqrt(DIM)
         e = np.exp(logits - logits.max(0, keepdims=True))
         attn = e / e.sum(0, keepdims=True)          # softmax over queries
-        attn = attn / np.maximum(attn.sum(-1, keepdims=True), 1e-6)
-        q = _layer_norm_np(pn["ln"], q + attn @ v)
+        # importance is the PRE-renormalisation mass (post-renorm rows
+        # sum to 1 identically, which would make this pin vacuous)
         ref_mass = attn.sum(-1)
+        attn = attn / np.maximum(ref_mass[:, None], 1e-6)
+        q = _layer_norm_np(pn["ln"], q + attn @ v)
     q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
     np.testing.assert_allclose(sf, q, atol=5e-5)
     np.testing.assert_allclose(mass, ref_mass, atol=5e-5)
+    # non-degeneracy: the importance signal must actually vary per
+    # query, so apply_global's (sf * mass) weighting is not a no-op
+    assert np.std(ref_mass) > 1e-3
