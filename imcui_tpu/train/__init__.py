@@ -13,4 +13,4 @@ dp over the pair batch and tp over the matcher's hidden dims on a
 rematerialisation on every transformer layer.
 """
 
-from . import data, homography, losses, step  # noqa: F401
+from . import data, homography, losses, step, superpoint  # noqa: F401

@@ -14,8 +14,39 @@ import jax
 import jax.numpy as jnp
 
 
+def synthetic_images_with_corners(key, batch, h, w, n_shapes=24):
+    """MagicPoint-style synthetic corpus WITH ground-truth corners.
+
+    Returns (images (B, 1, h, w), corners (B, 4·n_shapes, 2) xy,
+    mask (B, 4·n_shapes) bool). Rectangles contribute their 4 corners;
+    discs contribute none (their slots are masked out). Shapes composite
+    ADDITIVELY, so an overlapped rectangle's edges (and corners) stay
+    visible as intensity steps; overlaps also create unlabelled
+    incidental corners — that label incompleteness is accepted (the
+    published MagicPoint corpus renders with exact bookkeeping; this
+    generator trades that for staying fully on-device)."""
+    imgs, ctr, size, inten = _synthetic_fields(key, batch, h, w, n_shapes)
+    sx = size[..., 0:1]
+    sy = size[..., 1:2]
+    offs = jnp.stack([
+        jnp.concatenate([-sx, -sy], -1), jnp.concatenate([sx, -sy], -1),
+        jnp.concatenate([-sx, sy], -1), jnp.concatenate([sx, sy], -1),
+    ], 2)                                    # (B, S, 4, 2)
+    corners = (ctr[:, :, None, :] + offs).reshape(batch, -1, 2)
+    is_rect = ~(inten[..., 1] > 0)           # matches the paint rule
+    vis = jnp.abs(inten[..., 0]) > 0.08      # too-faint shapes: no corner
+    m = jnp.repeat(is_rect & vis, 4, axis=1)
+    inb = ((corners[..., 0] >= 2) & (corners[..., 0] <= w - 3)
+           & (corners[..., 1] >= 2) & (corners[..., 1] <= h - 3))
+    return imgs[:, None], corners, m & inb
+
+
 def synthetic_images(key, batch, h, w, n_shapes=24):
     """(batch, 1, h, w) float32 in [0, 1]."""
+    return _synthetic_fields(key, batch, h, w, n_shapes)[0][:, None]
+
+
+def _synthetic_fields(key, batch, h, w, n_shapes=24):
     kb, kc, kr, ki, kk = jax.random.split(key, 5)
     ys, xs = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
 
@@ -56,4 +87,4 @@ def synthetic_images(key, batch, h, w, n_shapes=24):
             0, n_shapes, lambda i, acc: shape(acc, i), im)
 
     img = jax.vmap(paint)(img, ctr, size, inten)
-    return jnp.clip(img, 0.0, 1.0)[:, None]
+    return jnp.clip(img, 0.0, 1.0), ctr, size, inten

@@ -124,6 +124,82 @@ def test_train_step_decreases_loss():
     assert hist[-1] < hist[0] * 0.9, hist
 
 
+def test_corner_cell_labels_planted():
+    from imcui_tpu.train import superpoint as spt
+
+    corners = jnp.asarray([[3.0, 2.0],      # cell (0,0), inpos 2*8+3=19
+                           [12.0, 9.0],     # cell (1,1), inpos 1*8+4=12
+                           [100.0, 100.0]], jnp.float32)
+    mask = jnp.asarray([True, True, False])
+    labels = np.asarray(spt.corner_cell_labels(corners, mask, 32, 32))
+    assert labels.shape == (4, 4)
+    assert labels[0, 0] == 19
+    assert labels[1, 1] == 12
+    # masked corner's cell stays dustbin; all other cells dustbin
+    assert (labels.flatten() == 64).sum() == 14
+
+
+def test_synthetic_corners_are_real_image_corners():
+    """GT corner labels must coincide with actual intensity structure:
+    local variance at labelled corners far exceeds the image median."""
+    from imcui_tpu.train import data as tdata
+
+    imgs, corners, mask = tdata.synthetic_images_with_corners(
+        jax.random.PRNGKey(3), 2, 128, 128)
+    imgs, corners, mask = map(np.asarray, (imgs, corners, mask))
+    assert mask.sum() > 10
+    var_corner, var_rand = [], []
+    rng = np.random.default_rng(0)
+    for b in range(2):
+        im = imgs[b, 0]
+        for x, y in corners[b][mask[b]][:20]:
+            xi, yi = int(round(x)), int(round(y))
+            patch = im[max(yi - 2, 0):yi + 3, max(xi - 2, 0):xi + 3]
+            var_corner.append(patch.std())
+        for _ in range(40):
+            xi, yi = rng.integers(3, 125, 2)
+            var_rand.append(im[yi - 2:yi + 3, xi - 2:xi + 3].std())
+    assert np.mean(var_corner) > 2.0 * np.median(var_rand)
+
+
+def test_descriptor_hinge_identity_warp():
+    """Under the identity homography the positive set is each cell plus
+    its 4-neighbours (centers exactly 8 px apart — the published ≤8 px
+    rule), and the loss restates as the explicit hinge."""
+    from imcui_tpu.train import superpoint as spt
+
+    rng = np.random.default_rng(4)
+    d = rng.normal(size=(6, 6, 32)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    loss, n_pos = spt.descriptor_hinge_loss(
+        jnp.asarray(d), jnp.asarray(d), jnp.eye(3))
+    # 36 self pairs + 2*(6*5) horizontal + 2*(5*6) vertical adjacents
+    assert int(n_pos) == 156
+    ys, xs = np.mgrid[0:6, 0:6].astype(np.float64)
+    c = np.stack([xs * 8 + 4, ys * 8 + 4], -1).reshape(-1, 2)
+    s = (((c[:, None] - c[None]) ** 2).sum(-1) <= 64.0)
+    dot = d.reshape(-1, 32) @ d.reshape(-1, 32).T
+    expect = (250.0 * s * np.maximum(0.0, 1.0 - dot)
+              + (~s) * np.maximum(0.0, dot - 0.2)).mean()
+    np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
+
+
+def test_superpoint_train_step_decreases_loss():
+    from imcui_tpu.train import superpoint as spt
+
+    params, opt_state, optimizer = spt.init_sp_train_state(
+        jax.random.PRNGKey(0), lr=3e-4)
+    tstep = spt.make_sp_train_step(optimizer, batch=2, h=96, w=96)
+    key = jax.random.PRNGKey(1)  # fixed batch → deterministic descent
+    hist = []
+    for _ in range(6):
+        params, opt_state, m = tstep(params, opt_state, key)
+        hist.append(float(m["loss"]))
+        assert np.isfinite(hist[-1])
+        assert float(m["n_desc_pos"]) > 0
+    assert hist[-1] < hist[0] * 0.9, hist
+
+
 def test_train_step_sharded_matches_single_device():
     """dp=2 × tp=2 on the virtual mesh reproduces the single-device
     update (same program, shardings only change placement)."""
