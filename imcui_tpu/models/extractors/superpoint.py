@@ -52,8 +52,16 @@ def init_params(rng):
 
 
 def load_params(conf):
-    """Try pretrained weights (HF hub), else deterministic random init."""
+    """Try pretrained weights (HF hub), else deterministic random init.
+
+    conf["checkpoint_npz"] short-circuits to a locally trained tree
+    (tools/train_superpoint.py output via utils.weights.save_tree_npz)."""
     init = init_params(jax.random.PRNGKey(0))
+    npz = conf.get("checkpoint_npz") if isinstance(conf, dict) else None
+    if npz:
+        from ...utils.weights import load_tree_npz
+        return load_tree_npz(npz, init, "superpoint"), {
+            "pretrained": True, "source": str(npz)}
     path = download_checkpoint("superpoint_v1.pth")
     if path is None:
         return init, {"pretrained": False}

@@ -121,6 +121,14 @@ def init_params(rng, conf):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0), conf)
+    npz = conf.get("checkpoint_npz")
+    if npz:
+        # locally trained tree (tools/train_lightglue.py output via
+        # utils.weights.save_tree_npz) — the training subsystem's trees
+        # are the serving trees, no conversion needed
+        from ...utils.weights import load_tree_npz
+        return load_tree_npz(npz, init, "lightglue"), {
+            "pretrained": True, "source": str(npz)}
     path = download_checkpoint(conf.get("model_name", "superpoint_lightglue.pth"))
     if path is None:
         return init, {"pretrained": False}

@@ -356,6 +356,51 @@ def tree_shapes(tree, prefix=""):
     return out
 
 
+def save_tree_npz(path, tree):
+    """Persist a param pytree as a flat .npz (dotted paths, the
+    tree_shapes addressing). This is the native checkpoint format of
+    the training subsystem (train/): trained trees round-trip through
+    load_tree_npz straight into the serving models."""
+    flat = {}
+
+    def walk(t, prefix):
+        items = t.items() if isinstance(t, dict) else enumerate(t)
+        for k, v in items:
+            p = f"{prefix}.{k}" if prefix else str(k)
+            if v is None:
+                continue
+            if isinstance(v, (dict, list)):
+                walk(v, p)
+            else:
+                flat[p] = np.asarray(v)
+
+    walk(tree, "")
+    np.savez(path, **flat)
+
+
+def load_tree_npz(path, init, name=""):
+    """Load a save_tree_npz checkpoint into the structure of ``init``
+    (same pytree skeleton; loudly raises on any missing/extra/mismatched
+    leaf via assert_tree_matches)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+
+    def build(t, prefix):
+        if isinstance(t, dict):
+            return {k: build(v, f"{prefix}.{k}" if prefix else str(k))
+                    for k, v in t.items()}
+        if isinstance(t, list):
+            return [build(v, f"{prefix}.{i}" if prefix else str(i))
+                    for i, v in enumerate(t)]
+        if t is None:
+            return None
+        return jnp.asarray(flat[prefix]) if prefix in flat else None
+
+    tree = build(init, "")
+    assert_tree_matches(tree, init, name or str(path))
+    return tree
+
+
 def assert_tree_matches(converted, initialised, name=""):
     """Check a converted checkpoint covers the model's param tree exactly."""
     cs, es = tree_shapes(converted), tree_shapes(initialised)

@@ -200,6 +200,41 @@ def test_superpoint_train_step_decreases_loss():
     assert hist[-1] < hist[0] * 0.9, hist
 
 
+def test_trained_tree_roundtrips_into_serving(tmp_path):
+    """train → save_tree_npz → load_params(checkpoint_npz=...) → the
+    SERVING forward reproduces the trained model exactly (closes the
+    train→serve loop; no conversion layer in between)."""
+    from imcui_tpu.models.extractors import superpoint as sp
+    from imcui_tpu.train import superpoint as spt
+    from imcui_tpu.utils import weights as wutils
+
+    params, opt_state, optimizer = spt.init_sp_train_state(
+        jax.random.PRNGKey(7), lr=1e-3)
+    tstep = spt.make_sp_train_step(optimizer, batch=1, h=96, w=96)
+    params, _, _ = tstep(params, opt_state, jax.random.PRNGKey(8))
+
+    path = tmp_path / "sp.npz"
+    wutils.save_tree_npz(path, params)
+    loaded, meta = sp.load_params({"checkpoint_npz": str(path)})
+    assert meta["pretrained"]
+
+    img = data.synthetic_images(jax.random.PRNGKey(9), 1, 96, 96)
+    wh = jnp.asarray([[96, 96]], jnp.int32)
+    a = sp.apply(params, img, wh, max_keypoints=32,
+                 keypoint_threshold=0.0, precision="fp32")
+    b = sp.apply(loaded, img, wh, max_keypoints=32,
+                 keypoint_threshold=0.0, precision="fp32")
+    for k in ("keypoints", "scores", "descriptors"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    # corrupted tree (missing leaf) must raise loudly, not mis-load
+    flat = dict(np.load(path))
+    flat.pop("conv1a.w")
+    np.savez(tmp_path / "bad.npz", **flat)
+    with pytest.raises(ValueError):
+        sp.load_params({"checkpoint_npz": str(tmp_path / "bad.npz")})
+
+
 def test_train_step_sharded_matches_single_device():
     """dp=2 × tp=2 on the virtual mesh reproduces the single-device
     update (same program, shardings only change placement)."""

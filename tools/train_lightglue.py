@@ -88,10 +88,9 @@ def eval_recall(lg_params, sp_params, images, key, max_keypoints, px=3.0):
 
 
 def save_tree(path, tree):
-    flat = {"/".join(map(str, [getattr(p, "key", getattr(p, "idx", ""))
-                               for p in kp])): np.asarray(v)
-            for kp, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
-    np.savez(path, **flat)
+    from imcui_tpu.utils.weights import save_tree_npz
+
+    save_tree_npz(path, tree)
 
 
 def main():

@@ -15,7 +15,6 @@ import sys
 import time
 
 import jax
-import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -60,10 +59,9 @@ def main():
             log.write(json.dumps(m) + "\n")
             log.flush()
 
-    flat = {"/".join(str(getattr(p, "key", getattr(p, "idx", "")))
-                     for p in kp): np.asarray(v)
-            for kp, v in jax.tree_util.tree_flatten_with_path(params)[0]}
-    np.savez(out / "superpoint_final.npz", **flat)
+    from imcui_tpu.utils.weights import save_tree_npz
+
+    save_tree_npz(out / "superpoint_final.npz", params)
     print(f"saved {out / 'superpoint_final.npz'}")
 
 
