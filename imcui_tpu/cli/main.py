@@ -114,6 +114,57 @@ def match(image0, image1, matcher, output):
         click.echo(f"wrote {output}")
 
 
+@cli.group()
+def train():
+    """Self-supervised training (beyond-reference: the upstream webui is
+    inference-only). Saves numpy-tree checkpoints the serving path loads
+    directly."""
+
+
+@train.command("lightglue")
+@click.option("--steps", default=1000, type=int)
+@click.option("--batch", default=8, type=int)
+@click.option("--size", default=512, type=int)
+@click.option("--max-keypoints", default=512, type=int)
+@click.option("--n-layers", default=9, type=int)
+@click.option("--lr", default=1e-4, type=float)
+@click.option("--model-parallel", default=1, type=int,
+              help="tp degree over the matcher hidden dims (dp fills "
+                   "the rest of the mesh).")
+@click.option("--image-dir", default=None, type=click.Path(exists=True),
+              help="Real-image corpus; omitted = on-device synthetic.")
+@click.option("--eval-every", default=200, type=int)
+@click.option("--out", default="runs/lg_homog", type=click.Path())
+@click.option("--seed", default=0, type=int)
+def train_lightglue_cmd(steps, batch, size, max_keypoints, n_layers, lr,
+                        model_parallel, image_dir, eval_every, out, seed):
+    """LightGlue homography pre-training (frozen SuperPoint teacher)."""
+    from ..train.drivers import train_lightglue
+
+    train_lightglue(steps=steps, batch=batch, size=size,
+                    max_keypoints=max_keypoints, n_layers=n_layers, lr=lr,
+                    model_parallel=model_parallel, image_dir=image_dir,
+                    eval_every=eval_every, out=out, seed=seed,
+                    log_fn=click.echo)
+
+
+@train.command("superpoint")
+@click.option("--steps", default=5000, type=int)
+@click.option("--batch", default=8, type=int)
+@click.option("--size", default=160, type=int)
+@click.option("--lr", default=1e-4, type=float)
+@click.option("--lambda-desc", default=1.0, type=float)
+@click.option("--out", default="runs/sp_synth", type=click.Path())
+@click.option("--seed", default=0, type=int)
+def train_superpoint_cmd(steps, batch, size, lr, lambda_desc, out, seed):
+    """SuperPoint MagicPoint-stage training on synthetic corners."""
+    from ..train.drivers import train_superpoint
+
+    train_superpoint(steps=steps, batch=batch, size=size, lr=lr,
+                     lambda_desc=lambda_desc, out=out, seed=seed,
+                     log_fn=click.echo)
+
+
 def run():
     try:
         cli(obj={})

@@ -1,0 +1,182 @@
+"""Training drivers: the host-side loops around the jitted steps.
+
+Beyond-reference capability (the reference webui is inference-only —
+imcui/hloc/utils/base_model.py:37-43 downloads pretrained checkpoints;
+no train loop exists in its tree). These loops are shared by the
+``imcui-tpu train`` CLI subcommand and the ``tools/train_*.py``
+scripts: LightGlue self-supervised homography pre-training (dp×tp mesh,
+remat) and SuperPoint synthetic-corner (MagicPoint-stage) training.
+Checkpoints are numpy trees (utils/weights.save_tree_npz) that the
+serving path loads directly.
+"""
+
+import json
+import pathlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import mesh as mesh_lib
+from ..utils.weights import save_tree_npz
+from . import data, homography, step
+
+
+def load_image_dir(path, size):
+    """Host-side image corpus → (N, 1, size, size) float32 [0, 1]."""
+    import cv2
+
+    files = sorted(
+        p for p in pathlib.Path(path).iterdir()
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".ppm", ".bmp"))
+    imgs = []
+    for f in files:
+        im = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+        if im is None:
+            continue
+        imgs.append(cv2.resize(im, (size, size)).astype(np.float32) / 255.0)
+    if not imgs:
+        raise ValueError(f"no readable images under {path}")
+    return np.stack(imgs)[:, None]
+
+
+def eval_recall(lg_params, sp_params, images, key, max_keypoints, px=3.0):
+    """Match recall of the CURRENT matcher on fresh held-out warps:
+    fraction of GT correspondences recovered by mutual-argmax decoding."""
+    from ..models.extractors import superpoint as sp
+    from ..models.matchers import lightglue as lg
+    from . import losses
+
+    b, _, h, w = images.shape
+    Hs = homography.sample_homographies(key, b, w, h)
+    warped = homography.warp_images(images, Hs)
+    both = jnp.concatenate([images, warped], 0)
+    valid = jnp.tile(jnp.asarray([[w, h]], jnp.int32), (2 * b, 1))
+    feats = sp.apply(sp_params, both, valid, max_keypoints=max_keypoints,
+                     keypoint_threshold=0.0, precision="fp32")
+    size_wh = jnp.asarray([w, h], jnp.float32)
+
+    def one(k0, k1, d0, d1, m0, m1, Hm):
+        scores, _, _ = step.forward_train(
+            lg_params, k0, k1, d0, d1, m0, m1, size_wh, size_wh,
+            remat=False)
+        matches, _ = lg.filter_matches(scores[-1], 0.1, m0, m1)
+        gt0, pos0, _, _ = losses.gt_correspondences(
+            k0, k1, m0, m1, Hm, size_wh, px_pos=px)
+        hit = (matches == gt0) & pos0
+        return hit.sum(), pos0.sum()
+
+    hits, total = jax.vmap(one)(
+        feats["keypoints"][:b], feats["keypoints"][b:],
+        feats["descriptors"][:b].transpose(0, 2, 1),
+        feats["descriptors"][b:].transpose(0, 2, 1),
+        feats["mask"][:b], feats["mask"][b:], Hs)
+    return float(hits.sum()) / max(float(total.sum()), 1.0)
+
+
+def train_lightglue(steps=1000, batch=8, size=512, max_keypoints=512,
+                    n_layers=9, lr=1e-4, warmup=100, model_parallel=1,
+                    image_dir=None, eval_every=200, out="runs/lg_homog",
+                    seed=0, log_fn=print):
+    """LightGlue homography pre-training (Lindenberger et al. §4):
+    frozen SuperPoint, random-homography pairs, deep-supervised
+    assignment NLL + token-confidence heads. Returns the final params
+    and writes ``lightglue_final.npz`` + ``log.jsonl`` under ``out``."""
+    import optax
+
+    out = pathlib.Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    warmup = min(warmup, max(steps // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps)
+    optimizer = step.make_optimizer(sched)
+    lg_params, _, sp_params, _ = step.init_train_state(
+        rng=jax.random.PRNGKey(seed), n_layers=n_layers,
+        max_keypoints=max_keypoints, lr=lr)
+
+    n_dev = len(jax.devices())
+    mesh = mesh_lib.make_mesh(n_dev, model_parallel=model_parallel)
+    lg_params = (mesh_lib.shard_lightglue_params(lg_params, mesh)
+                 if model_parallel > 1
+                 else mesh_lib.replicate(lg_params, mesh))
+    opt_state = optimizer.init(lg_params)
+    sp_params = mesh_lib.replicate(sp_params, mesh)
+    tstep = step.make_train_step(
+        optimizer, max_keypoints=max_keypoints,
+        keypoint_threshold=0.0, remat=True)
+
+    corpus = load_image_dir(image_dir, size) if image_dir else None
+    key = jax.random.PRNGKey(seed + 1)
+    eval_imgs = data.synthetic_images(
+        jax.random.PRNGKey(seed + 2), 4, size, size)
+
+    log = open(out / "log.jsonl", "a")
+    t0 = time.time()
+    for it in range(steps):
+        key, kd, ks = jax.random.split(key, 3)
+        if corpus is not None:
+            idx = np.asarray(
+                jax.random.randint(kd, (batch,), 0, len(corpus)))
+            images = jnp.asarray(corpus[idx])
+        else:
+            images = data.synthetic_images(kd, batch, size, size)
+        images = mesh_lib.shard_batch([images], mesh)[0]
+        with mesh:
+            lg_params, opt_state, m = tstep(
+                lg_params, opt_state, sp_params, images, ks)
+        if it % 20 == 0 or it == steps - 1:
+            m = {k: float(v) for k, v in m.items()}
+            m.update(step=it, sec=round(time.time() - t0, 1))
+            log_fn(json.dumps(m))
+            log.write(json.dumps(m) + "\n")
+            log.flush()
+        if eval_every and (it + 1) % eval_every == 0:
+            r = eval_recall(lg_params, sp_params, eval_imgs,
+                            jax.random.PRNGKey(it), max_keypoints)
+            rec = {"step": it, "eval_recall": round(r, 4)}
+            log_fn(json.dumps(rec))
+            log.write(json.dumps(rec) + "\n")
+            log.flush()
+            save_tree_npz(out / f"lightglue_{it + 1:06d}.npz", lg_params)
+    save_tree_npz(out / "lightglue_final.npz", lg_params)
+    log_fn(f"saved {out / 'lightglue_final.npz'}")
+    return lg_params
+
+
+def train_superpoint(steps=5000, batch=8, size=160, lr=1e-4,
+                     lambda_desc=1.0, out="runs/sp_synth", seed=0,
+                     log_fn=print):
+    """SuperPoint-from-scratch on the on-device synthetic corner corpus
+    (the MagicPoint stage of DeTone et al.). Returns the final params
+    and writes ``superpoint_final.npz`` under ``out``."""
+    from . import superpoint as spt
+
+    out = pathlib.Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    params, opt_state, optimizer = spt.init_sp_train_state(
+        jax.random.PRNGKey(seed), lr=lr)
+    mesh = mesh_lib.make_mesh(len(jax.devices()), model_parallel=1)
+    params = mesh_lib.replicate(params, mesh)
+    opt_state = optimizer.init(params)
+    tstep = spt.make_sp_train_step(
+        optimizer, batch=batch, h=size, w=size, lambda_desc=lambda_desc)
+
+    key = jax.random.PRNGKey(seed + 1)
+    log = open(out / "log.jsonl", "a")
+    t0 = time.time()
+    for it in range(steps):
+        key, ks = jax.random.split(key)
+        with mesh:
+            params, opt_state, m = tstep(params, opt_state, ks)
+        if it % 50 == 0 or it == steps - 1:
+            m = {k: round(float(v), 4) for k, v in m.items()}
+            m.update(step=it, sec=round(time.time() - t0, 1))
+            log_fn(json.dumps(m))
+            log.write(json.dumps(m) + "\n")
+            log.flush()
+
+    save_tree_npz(out / "superpoint_final.npz", params)
+    log_fn(f"saved {out / 'superpoint_final.npz'}")
+    return params

@@ -139,3 +139,23 @@ def test_app_class_headless():
     app = ImageMatchingApp(config="/root/repo/config/app.yaml")
     table = app.display_supported_algorithms()
     assert any(row[0] == "superpoint+lightglue" for row in table)
+
+
+def test_cli_train_group_registered():
+    """The train subcommand group (beyond-reference) is wired with both
+    trainers and forwards options to imcui_tpu.train.drivers."""
+    from click.testing import CliRunner
+
+    from imcui_tpu.cli.main import cli
+
+    res = CliRunner().invoke(cli, ["train", "--help"])
+    assert res.exit_code == 0
+    assert "lightglue" in res.output and "superpoint" in res.output
+    res = CliRunner().invoke(cli, ["train", "lightglue", "--help"])
+    assert res.exit_code == 0
+    assert "--model-parallel" in res.output
+
+    from imcui_tpu.train import drivers
+
+    assert callable(drivers.train_lightglue)
+    assert callable(drivers.train_superpoint)
