@@ -54,22 +54,39 @@ def conv_transpose_s(p, x):
     return y + p["b"]
 
 
+def _interp_matrix(n_in, n_out):
+    """(n_out, n_in) bilinear interpolation matrix, torch
+    align_corners=True grid: out_i samples at i·(n_in−1)/(n_out−1).
+    Constant-folded by XLA (static shapes)."""
+    pos = jnp.linspace(0.0, n_in - 1.0, n_out)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+    i1 = jnp.minimum(i0 + 1, n_in - 1)
+    f = (pos - i0).astype(jnp.float32)
+    rows = jnp.arange(n_out)
+    return (jnp.zeros((n_out, n_in), jnp.float32)
+            .at[rows, i0].add(1.0 - f)
+            .at[rows, i1].add(f))
+
+
 def resize_align_corners(x, out_hw):
     """Bilinear resize with torch align_corners=True semantics.
-    x: (H, W, C)."""
+    x: (H, W, C).
+
+    Separable-linear form: two MXU einsums against constant
+    interpolation matrices instead of chained row/column gathers — the
+    column gather lowers to strided HBM traffic on TPU and made the DPT
+    pyramid's five upsamples a measurable slice of the DUSt3R step
+    (r4 stage attribution, tools/profile_duster_stages.py)."""
     h, w = x.shape[:2]
     oh, ow = out_hw
-    ys = jnp.linspace(0.0, h - 1.0, oh)
-    xs = jnp.linspace(0.0, w - 1.0, ow)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    fy = (ys - y0)[:, None, None]
-    fx = (xs - x0)[None, :, None]
-    top = x[y0][:, x0] * (1 - fx) + x[y0][:, x1] * fx
-    bot = x[y1][:, x0] * (1 - fx) + x[y1][:, x1] * fx
-    return top * (1 - fy) + bot * fy
+    if (h, w) == (oh, ow):
+        return x
+    ry = _interp_matrix(h, oh).astype(x.dtype)
+    rx = _interp_matrix(w, ow).astype(x.dtype)
+    y = jnp.einsum("Oh,hwc->Owc", ry, x,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("Pw,Owc->OPc", rx, y,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def _init_rcu(key, c):

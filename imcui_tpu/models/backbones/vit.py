@@ -16,6 +16,18 @@ import jax.numpy as jnp
 from ..layers import (conv2d, gelu, init_conv, init_layer_norm, init_linear,
                       layer_norm, linear)
 
+# Attention implementation for the 1024-token CroCo/DUSt3R blocks.
+# "xla": einsum + fused softmax; "fused": single-shot VMEM kernel
+# (ops.attention.mha_auto); "flash": jax.experimental library blockwise
+# kernel. Measured r3/r4 on the real chip — see attention_apply's note.
+ATTN_IMPL = "xla"
+
+
+def _flash_lib(q, k, v, scale):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as _fa)
+    return _fa(q[None], k[None], v[None], causal=False, sm_scale=scale)[0]
+
 
 def init_mlp(key, dim, hidden):
     k1, k2 = jax.random.split(key)
@@ -91,13 +103,21 @@ def attention_apply(p, x, num_heads, context=None, pos=None, kpos=None,
     if rope_base is not None and pos is not None:
         q = rope_2d(q, pos, rope_base)
         k = rope_2d(k, kpos if kpos is not None else pos, rope_base)
-    # Measured r3 (tools/try_vit_attn.py): at the CroCo/DUSt3R token
-    # count (1024, dh 64) the VMEM fused kernel wins isolated (0.32 vs
-    # 0.37 ms) but LOSES end-to-end (34.4 → 48.8 ms/pair) — the pallas
-    # call is a fusion barrier that forces q/k/v/out HBM round-trips XLA
-    # otherwise fuses into the block. Keep the XLA einsum here; the
-    # fused path pays off only at DINOv2's 1664-token grids
-    # (backbones/dinov2.py, 163→154 ms/pair e2e).
+    # Measured r4 (tools/try_duster_attn.py, full DUSt3R programs):
+    # xla 34.9 / fused 34.7 / flash 34.5 ms/pair — all within tunnel
+    # noise at 1024 tokens (r3's 48.8 ms fused regression did not
+    # reproduce). The encoder is matmul-issue-bound at these widths,
+    # not logits-traffic-bound, so keep the dependency-free XLA einsum;
+    # the fused path pays off only at DINOv2's 1664-token grids
+    # (backbones/dinov2.py, 163→154 ms/pair e2e). ATTN_IMPL switches the
+    # path for whole-program A/Bs.
+    if ATTN_IMPL != "xla" and q.dtype == jnp.bfloat16:
+        from ...ops import attention as att_ops
+        if ATTN_IMPL == "flash":
+            out = _flash_lib(q, k, v, 1.0 / dh**0.5)
+        else:
+            out = att_ops.mha_auto(q, k, v)
+        return linear(p["proj"], out.transpose(1, 0, 2).reshape(n, d))
     logits = jnp.einsum("hnd,hmd->hnm", q, k,
                         preferred_element_type=jnp.float32) / dh**0.5
     attn = jax.nn.softmax(logits, -1)

@@ -110,6 +110,25 @@ def batch_norm_inference(p, x, eps=1e-5):
     return y
 
 
+def vmap_pairs(fn):
+    """``jax.vmap`` over the leading pair-batch axis, bypassing vmap
+    entirely at B=1. Measured r4 (tools/try_roma_novmap.py, real chip):
+    the batched dimension pushes RoMa's fused-attention / gather-heavy
+    program onto slower lowering paths — 98.2 ms/pair vmapped at B=1 vs
+    80.9 unbatched, identical math. B=1 is the heavy tiers' serving
+    point (B-scaling measured negative, BASELINE.md), so the bypass is
+    the common case."""
+    batched = jax.vmap(fn)
+
+    def wrapper(*args):
+        if all(hasattr(a, "shape") for a in args) and args[0].shape[0] == 1:
+            out = fn(*(a[0] for a in args))
+            return jax.tree_util.tree_map(lambda x: x[None], out)
+        return batched(*args)
+
+    return wrapper
+
+
 def fold_width(x):
     """(B, H, W, C) → (B, H, W/2, 2C): pack horizontal pixel pairs into
     channels. TPU rationale: the MXU is 128 lanes wide, so convs with

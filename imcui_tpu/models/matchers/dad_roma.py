@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ...ops import nms as nms_ops
 from ...utils.base_model import BaseModel
+from ..layers import vmap_pairs
 from . import roma as roma_mod
 
 SNAP_RADIUS = 8.0  # px
@@ -87,7 +88,7 @@ def _apply_batched(params, image0, image1, max_matches):
                 "keypoints1": jnp.where(valid[:, None], k1_final, 0.0),
                 "scores": jnp.where(valid, conf, 0.0), "mask": valid}
 
-    return jax.vmap(per_pair)(image0, image1)
+    return vmap_pairs(per_pair)(image0, image1)
 
 
 class DadRoma(BaseModel):

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from ...utils.base_model import BaseModel
 from ...utils.weights import load_params_auto
 from ..backbones import resnet
-from ..layers import batch_norm_inference, conv2d, init_conv, relu
+from ..layers import (batch_norm_inference, conv2d, init_conv, relu,
+                      vmap_pairs)
 from . import roma as roma_mod
 
 GP_DIM = 256
@@ -231,7 +232,7 @@ def _apply_batched(params, image0, image1, max_matches):
         return {"keypoints0": k0, "keypoints1": k1, "scores": score,
                 "mask": valid}
 
-    return jax.vmap(per_pair)(image0, image1)
+    return vmap_pairs(per_pair)(image0, image1)
 
 
 class DKMv3(BaseModel):

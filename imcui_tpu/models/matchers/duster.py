@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ...utils.base_model import BaseModel
 from ...utils.weights import load_params_auto
 from ..backbones import dpt, vit
-from ..layers import init_linear, linear
+from ..layers import init_linear, linear, vmap_pairs
 
 PUBLISHED = {
     "enc_dim": 1024, "enc_depth": 24, "enc_heads": 16,
@@ -241,7 +241,7 @@ def forward_pair(params, image0, image1, conf):
 @functools.partial(jax.jit, static_argnames=("conf_key",))
 def _apply_batched(params, image0, image1, conf_key):
     conf = dict(conf_key)
-    return jax.vmap(
+    return vmap_pairs(
         lambda a, b: forward_pair(params, a, b, conf)
     )(image0, image1)
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.weights import load_params_auto
-from ..layers import gelu, init_linear, linear
+from ..layers import gelu, init_linear, linear, vmap_pairs
 from . import duster as duster_mod
 from .duster import Duster
 
@@ -105,7 +105,7 @@ def forward_pair(params, image0, image1, conf):
 @functools.partial(jax.jit, static_argnames=("conf_key",))
 def _apply_batched(params, image0, image1, conf_key):
     conf = dict(conf_key)
-    return jax.vmap(
+    return vmap_pairs(
         lambda a, b: forward_pair(params, a, b, conf)
     )(image0, image1)
 

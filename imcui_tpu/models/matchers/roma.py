@@ -52,7 +52,7 @@ from ..backbones import dinov2, vgg
 from ..backbones import vit as vit_mod
 from ..layers import (batch_norm_inference, conv2d, depthwise_conv,
                       init_conv, init_layer_norm, init_linear, layer_norm,
-                      linear, relu)
+                      linear, relu, vmap_pairs)
 from . import loftr as loftr_mod
 
 # ---------------------------------------------------------------------------
@@ -581,13 +581,23 @@ def to_pixel_coordinates(warp_coords, h, w):
 
 def sample(warp, cert, h, w, num=2048, threshold=0.0):
     """Draw the top-``num`` correspondences by certainty (the reference's
-    roma.sample analog, deterministic top-k instead of multinomial)."""
+    roma.sample analog, deterministic top-k instead of multinomial —
+    upstream draws multinomially from the certainty mass, so exact rank
+    order is not part of the contract). ``approx_max_k`` instead of the
+    exact sort: the exact ``lax.top_k`` over the 560² = 313k certainty
+    grid measured ~24 ms/pair — 24% of the whole RoMa step (r4 stage
+    attribution, tools/profile_roma_stages.py: full-minus-sample 77 ms
+    vs the 101 ms bench row)."""
     hc, wc = cert.shape
     src = coord_grid(hc, wc)  # normalised source coords
     k0 = to_pixel_coordinates(src, h, w)
     k1 = to_pixel_coordinates(warp.reshape(-1, 2), h, w)
     flat_cert = cert.reshape(-1)
-    top, idx = jax.lax.top_k(flat_cert, min(num, flat_cert.shape[0]))
+    if num < flat_cert.shape[0]:
+        top, idx = jax.lax.approx_max_k(flat_cert, num,
+                                        recall_target=0.95)
+    else:
+        top, idx = jax.lax.top_k(flat_cert, flat_cert.shape[0])
     valid = top > threshold
     return (jnp.where(valid[:, None], k0[idx], 0.0),
             jnp.where(valid[:, None], k1[idx], 0.0),
@@ -605,7 +615,7 @@ def _apply_batched(params, image0, image1, max_matches, conf_key=()):
         return {"keypoints0": k0, "keypoints1": k1, "scores": score,
                 "mask": valid}
 
-    return jax.vmap(per_pair)(image0, image1)
+    return vmap_pairs(per_pair)(image0, image1)
 
 
 class Roma(BaseModel):

@@ -118,3 +118,26 @@ def test_pallas_stem_tail_interpret():
     rel = err / (np.max(np.abs(np.asarray(ref))) + 1e-9)
     assert got.shape == ref.shape
     assert rel < 0.02, rel
+
+
+def test_vmap_pairs_b1_bypass_matches_vmap():
+    """layers.vmap_pairs: the B=1 bypass (measured 98→81 ms/pair on
+    RoMa, tools/try_roma_novmap.py) must be output-identical to vmap."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imcui_tpu.models import layers
+
+    def fn(a, b):
+        return {"s": (a * b).sum(-1), "d": a - 2.0 * b}
+
+    rng = np.random.default_rng(3)
+    for batch in (1, 3):
+        a = jnp.asarray(rng.normal(size=(batch, 5, 4)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(batch, 5, 4)).astype(np.float32))
+        want = jax.vmap(fn)(a, b)
+        got = layers.vmap_pairs(fn)(a, b)
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(want[k]))

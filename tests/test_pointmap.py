@@ -91,3 +91,36 @@ def test_duster_dpt_head(rng):
     out = m({"image0": img, "image1": img.copy()})
     assert np.asarray(out["keypoints0"]).shape == (1, 64, 2)
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_resize_align_corners_matmul_vs_gather():
+    """The r4 matmul-form resize (constant interpolation matrices +
+    MXU einsums) must reproduce the gather-form torch
+    F.interpolate(align_corners=True) semantics it replaced."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imcui_tpu.models.backbones import dpt
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(13, 17, 6)).astype(np.float32))
+
+    def gather_ref(x, out_hw):
+        h, w = x.shape[:2]
+        oh, ow = out_hw
+        ys = jnp.linspace(0.0, h - 1.0, oh)
+        xs = jnp.linspace(0.0, w - 1.0, ow)
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        top = x[y0][:, x0] * (1 - fx) + x[y0][:, x1] * fx
+        bot = x[y1][:, x0] * (1 - fx) + x[y1][:, x1] * fx
+        return top * (1 - fy) + bot * fy
+
+    for out_hw in ((26, 34), (26, 17), (7, 9), (13, 17)):
+        got = np.asarray(dpt.resize_align_corners(x, out_hw))
+        want = np.asarray(gather_ref(x, out_hw))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
