@@ -585,9 +585,9 @@ def sample(warp, cert, h, w, num=2048, threshold=0.0):
     upstream draws multinomially from the certainty mass, so exact rank
     order is not part of the contract). ``approx_max_k`` instead of the
     exact sort: the exact ``lax.top_k`` over the 560² = 313k certainty
-    grid measured ~24 ms/pair — 24% of the whole RoMa step (r4 stage
-    attribution, tools/profile_roma_stages.py: full-minus-sample 77 ms
-    vs the 101 ms bench row)."""
+    grid cost ~3 ms/pair measured at the bench level (101.1 → 97.9
+    ms/pair, r4; the rest of that round's gap was the vmap(B=1)
+    wrapper — see layers.vmap_pairs)."""
     hc, wc = cert.shape
     src = coord_grid(hc, wc)  # normalised source coords
     k0 = to_pixel_coordinates(src, h, w)
