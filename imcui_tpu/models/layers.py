@@ -110,6 +110,76 @@ def batch_norm_inference(p, x, eps=1e-5):
     return y
 
 
+def fold2x2(x):
+    """(H, W, C) → (H/2, W/2, 4C): pack 2×2 pixel blocks into channels,
+    sub-position-major layout c_f = (ay·2 + ax)·C + c. The 2-D analog of
+    ``fold_width`` for narrow-channel stride-1 convs (RoMa/DKM's
+    stride-1 refiner runs 5×5 convs at C≤24 over 560² — ~19% lane
+    occupancy unfolded)."""
+    h, w, c = x.shape
+    return (x.reshape(h // 2, 2, w // 2, 2, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(h // 2, w // 2, 4 * c))
+
+
+def unfold2x2(x):
+    """Inverse of fold2x2."""
+    h2, w2, c4 = x.shape
+    c = c4 // 4
+    return (x.reshape(h2, w2, 2, 2, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(h2 * 2, w2 * 2, c))
+
+
+def fold2x2_conv5x5(p):
+    """2×2-folded equivalent of a 5×5 SAME stride-1 conv: returns pf
+    such that ``conv2d(pf, fold2x2(x)[None])[0] ==
+    fold2x2(conv2d(p, x[None])[0])`` exactly, for even-H/W x.
+
+    Derivation per dimension (fold 2, kernel 5, pad 2): original output
+    o = 2i+a needs input r = o+t−2, t∈[0,5); s = a+t−2 ∈ [−2,3] spans
+    folded offsets floor(s/2) ∈ {−1,0,1} → a 3×3 folded kernel over 4C
+    channels. FLOPs grow 1.44× (the folded kernel is partly zeros) but
+    run at 4× the lane occupancy — the same trade fold_width makes for
+    the SuperPoint trunk (measured there: 13.8 → 5.7 ms)."""
+    w = p["w"]
+    kh, kw, cin, cout = w.shape
+    assert kh == 5 and kw == 5, "fold2x2_conv5x5 expects a 5×5 kernel"
+    wf = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for ay in range(2):
+        for ax in range(2):
+            for ty in range(5):
+                for tx in range(5):
+                    sy, sx = ay + ty - 2, ax + tx - 2
+                    ky, kx = sy // 2, sx // 2  # floor div
+                    apy, apx = sy - 2 * ky, sx - 2 * kx
+                    ci = (apy * 2 + apx) * cin
+                    co = (ay * 2 + ax) * cout
+                    wf = wf.at[ky + 1, kx + 1, ci:ci + cin,
+                               co:co + cout].set(w[ty, tx])
+    pf = {"w": wf}
+    if "b" in p and p["b"] is not None:
+        pf["b"] = jnp.tile(p["b"], 4)
+    return pf
+
+
+def fold2x2_conv1x1(p):
+    """2×2-folded 1×1 conv: block-diagonal over the 4 sub-positions."""
+    w = p["w"][0, 0]  # (cin, cout)
+    eye = jnp.eye(4, dtype=w.dtype)
+    wf = jnp.einsum("ab,io->aibo", eye, w).reshape(
+        1, 1, 4 * w.shape[0], 4 * w.shape[1])
+    pf = {"w": wf.reshape(1, 1, 4 * w.shape[0], 4 * w.shape[1])}
+    if "b" in p and p["b"] is not None:
+        pf["b"] = jnp.tile(p["b"], 4)
+    return pf
+
+
+def fold2x2_bn(p):
+    """2×2-folded inference batch-norm params (channel stats tiled)."""
+    return {k: jnp.tile(v, 4) for k, v in p.items()}
+
+
 def vmap_pairs(fn):
     """``jax.vmap`` over the leading pair-batch axis, bypassing vmap
     entirely at B=1. Measured r4 (tools/try_roma_novmap.py, real chip):

@@ -51,8 +51,9 @@ from ...utils.weights import (download_checkpoint, load_params_auto,
 from ..backbones import dinov2, vgg
 from ..backbones import vit as vit_mod
 from ..layers import (batch_norm_inference, conv2d, depthwise_conv,
+                      fold2x2, fold2x2_bn, fold2x2_conv1x1, fold2x2_conv5x5,
                       init_conv, init_layer_norm, init_linear, layer_norm,
-                      linear, relu, vmap_pairs)
+                      linear, relu, unfold2x2, vmap_pairs)
 from . import loftr as loftr_mod
 
 # ---------------------------------------------------------------------------
@@ -372,7 +373,7 @@ def _refiner_block(blk, x, dw):
 
 
 def refiner_apply(p, cfg, f0, f1, warp, cert,
-                  disp_scale=DISP_EMB_SCALE):
+                  disp_scale=DISP_EMB_SCALE, fold=True):
     """One ConvRefiner step at this scale's grid. f0/f1: (h, w, feat);
     warp: (h, w, 2) normalised; cert: (h, w) logits.
 
@@ -389,16 +390,39 @@ def refiner_apply(p, cfg, f0, f1, warp, cert,
     if cfg["r"]:
         ins.append(local_correlation(f0, f1, warp, cfg["r"]))
     x = jnp.concatenate(ins, -1)[None]
-    x = _refiner_block(p["block1"], x, cfg["dw"])
-    # hidden blocks share shapes → lax.scan keeps the HLO one-body-deep
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *p["hidden_blocks"])
+    if fold and not cfg["dw"] and h % 2 == 0 and w % 2 == 0:
+        # 2×2-folded chain for the full-conv scale-1 refiner: 5×5 convs at
+        # C≤24 over the full-res grid run at ≤19% lane occupancy; folding
+        # 2×2 pixel blocks into channels turns them into 3×3 convs at 4C
+        # over (h/2, w/2) — 1.44× the FLOPs at 4× the occupancy. Exact
+        # (tests/test_fold2x2.py); weight folding happens at trace time.
+        def foldb(blk):
+            return {"0": fold2x2_conv5x5(blk["0"]),
+                    "1": fold2x2_bn(blk["1"]),
+                    "3": fold2x2_conv1x1(blk["3"])}
 
-    def body(h, blk):
-        return _refiner_block(blk, h, cfg["dw"]), None
+        x = fold2x2(x[0])[None]
+        x = _refiner_block(foldb(p["block1"]), x, False)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[foldb(b) for b in p["hidden_blocks"]])
 
-    x, _ = jax.lax.scan(body, x, stacked)
-    out = conv2d(p["out_conv"], x)[0]
+        def body(h, blk):
+            return _refiner_block(blk, h, False), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        out = unfold2x2(conv2d(fold2x2_conv1x1(p["out_conv"]), x)[0])
+    else:
+        x = _refiner_block(p["block1"], x, cfg["dw"])
+        # hidden blocks share shapes → lax.scan keeps the HLO one-body-deep
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *p["hidden_blocks"])
+
+        def body(h, blk):
+            return _refiner_block(blk, h, cfg["dw"]), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        out = conv2d(p["out_conv"], x)[0]
     # upstream Decoder.forward: flow += ins·Δ/(4·W_full) = Δ/(4·w_grid)
     dwarp = out[..., :2] * jnp.asarray([0.25 / w, 0.25 / h])
     return warp + dwarp, cert + out[..., 2]

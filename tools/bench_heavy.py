@@ -135,6 +135,65 @@ def bench_duster(bf16=False, batch=1):
            + ("(bf16)" if bf16 else "") + f"@B{B}")
 
 
+def bench_dkm(bf16=False, batch=1):
+    """DKMv3 at 544×736 (the closest 32-divisible grid to the published
+    540×720 operating point)."""
+    from imcui_tpu.models.matchers import dkm
+    from imcui_tpu.models.matchers import roma as roma_mod
+
+    B, H, W = batch, 544, 736
+    params = dkm.init_params(jax.random.PRNGKey(0))
+    if bf16:
+        params = _cast_bf16(params)
+
+    def step(params, key, acc):
+        k0, k1 = jax.random.split(key)
+        dt = jnp.bfloat16 if bf16 else jnp.float32
+        i0 = jax.random.uniform(k0, (B, H, W, 3), dt)
+        i1 = jax.random.uniform(k1, (B, H, W, 3), dt)
+        out = dkm._apply_batched(params, i0, i1, 2048)
+        return acc + out["scores"].astype(jnp.float32).sum()
+
+    _bench(step, params, 20, 2, B,
+           "pairs/s/chip DKMv3(ResNet50+GP)@544x736"
+           + ("(bf16)" if bf16 else "") + f"@B{B}")
+
+
+def bench_mast3r(bf16=False, batch=1):
+    """MASt3R: DUSt3R trunk + pixel-shuffle descriptor heads +
+    descriptor reciprocal NN at 512²."""
+    from imcui_tpu.models.matchers import duster, mast3r
+
+    B, R = batch, 512
+    conf = dict(duster.PUBLISHED, max_matches=2048, subsample=8,
+                desc_dim=mast3r.DESC_DIM)
+    params = duster.init_params(jax.random.PRNGKey(0), conf)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    for key, k in (("downstream_head1", k1), ("downstream_head2", k2)):
+        params[key]["head_local_features"] = mast3r.init_desc_head(
+            k, conf["enc_dim"], conf["dec_dim"], conf["patch"],
+            conf["desc_dim"])
+    if bf16:
+        params = _cast_bf16(params)
+    conf_key = tuple(sorted(
+        {k: conf[k] for k in
+         ("enc_dim", "enc_depth", "enc_heads", "dec_dim", "dec_depth",
+          "dec_heads", "patch", "max_matches", "subsample",
+          "pos_embed", "head_type", "desc_dim")}.items()))
+
+    def step(params, key, acc):
+        k0, k1 = jax.random.split(key)
+        dt = jnp.bfloat16 if bf16 else jnp.float32
+        i0 = jax.random.uniform(k0, (B, R, R, 3), dt) * 2 - 1
+        i1 = jax.random.uniform(k1, (B, R, R, 3), dt) * 2 - 1
+        out = mast3r._apply_batched(params, i0, i1, conf_key)
+        return acc + out["scores"].astype(jnp.float32).sum()
+
+    _bench(step, params, 20, 2, B,
+           "pairs/s/chip MASt3R(ViT-L,desc)@512"
+           + ("(bf16)" if bf16 else "") + f"@B{B}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     bf16 = "--bf16" in sys.argv
@@ -148,3 +207,7 @@ if __name__ == "__main__":
         bench_roma(bf16, batch)
     if which in ("duster", "all"):
         bench_duster(bf16, batch)
+    if which in ("dkm", "all"):
+        bench_dkm(bf16, batch)
+    if which in ("mast3r", "all"):
+        bench_mast3r(bf16, batch)
