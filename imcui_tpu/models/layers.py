@@ -81,11 +81,89 @@ def depthwise_conv(p, x):
 
 
 def linear(p, x):
-    """p: {"w": (din, dout), "b": (dout,)?}; x: (..., din)."""
+    """p: {"w": (din, dout), "b": (dout,)?}; x: (..., din).
+    A tree quantised by ``quantize_linear_int8`` (key "w_q") takes the
+    W8A8 dynamic-quantisation path instead."""
+    if "w_q" in p:
+        return _linear_int8(p, x).astype(x.dtype)
     out = x @ p["w"]
     if "b" in p and p["b"] is not None:
         out = out + p["b"]
     return out
+
+
+def quantize_linear_int8(p):
+    """Symmetric per-output-channel int8 weight quantisation of a linear
+    param dict. Returns {"w_q": int8 (din, dout), "w_s": f32 (dout,),
+    "b": …} — ``linear`` dispatches on the presence of "w_q" and runs
+    the matmul on the MXU's int8 path with dynamic per-row activation
+    scales (serving-time W8A8; see ``linear``)."""
+    w = p["w"].astype(jnp.float32)
+    s = jnp.maximum(jnp.abs(w).max(0), 1e-12) / 127.0  # (dout,)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    out = {"w_q": q, "w_s": s}
+    if "b" in p and p["b"] is not None:
+        out["b"] = p["b"]
+    return out
+
+
+def _linear_int8(p, x):
+    """W8A8 dynamic-quantised matmul: per-row (token) activation scales,
+    per-column weight scales, int8×int8→int32 on the MXU. Measured ~2.7×
+    the bf16 MXU rate at ViT-class widths (tools/try_int8.py); the
+    max-abs reduction + casts are VPU work fused around the matmul."""
+    shape = x.shape
+    xf = x.reshape(-1, shape[-1]).astype(jnp.float32)
+    sx = jnp.maximum(jnp.abs(xf).max(-1, keepdims=True), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = lax.dot_general(xq, p["w_q"], (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * sx * p["w_s"]
+    if "b" in p and p["b"] is not None:
+        out = out + p["b"]
+    return out.reshape(*shape[:-1], -1)
+
+
+def apply_precision(tree, precision, min_dim=256):
+    """Serving-time precision transform of a whole param pytree.
+
+    - ``None`` / ``"f32"``: identity.
+    - ``"bf16"``: cast float leaves to bfloat16 (precision-sensitive ops
+      upcast internally: LN/BN statistics, depthwise accumulation).
+    - ``"int8"``: quantise every *eligible* linear dict — ``{"w": 2-D,
+      "b"?}`` with min(din, dout) >= ``min_dim`` — via
+      ``quantize_linear_int8`` (from the full-precision weights, before
+      any cast), then bf16-cast everything else. The threshold keeps
+      narrow heads/tails in bf16: the MXU int8 rate only beats bf16 at
+      wide output dims (BASELINE.md: +13% at N=128 vs ~2.7x at N>=1024;
+      a full ViT-L block forward measures 1.25x, 25.0->20.1 ms at
+      N=1664 — tools/try_vit_int8.py).
+    """
+    if precision in (None, "f32", "float32"):
+        return tree
+    if precision not in ("bf16", "bfloat16", "int8"):
+        raise ValueError(f"unknown precision {precision!r}")
+
+    def cast(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            return leaf.astype(jnp.bfloat16)
+        return leaf
+
+    def walk(node):
+        if isinstance(node, dict):
+            if (precision == "int8"
+                    and set(node) <= {"w", "b"}
+                    and hasattr(node.get("w"), "ndim")
+                    and node["w"].ndim == 2
+                    and min(node["w"].shape) >= min_dim):
+                return quantize_linear_int8(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return cast(node)
+
+    return walk(tree)
 
 
 def layer_norm(p, x, eps=1e-5):

@@ -36,8 +36,8 @@ import jax.numpy as jnp
 from ...utils.base_model import BaseModel
 from ...utils.weights import load_params_auto
 from ..backbones import resnet
-from ..layers import (batch_norm_inference, conv2d, init_conv, relu,
-                      vmap_pairs)
+from ..layers import (apply_precision, batch_norm_inference, conv2d,
+                      init_conv, relu, vmap_pairs)
 from . import roma as roma_mod
 
 GP_DIM = 256
@@ -248,11 +248,17 @@ class DKMv3(BaseModel):
         # published operating point is 540×720 (set coarse_res for it —
         # our /32-aligned equivalent is (544, 704))
         "coarse_res": None,
+        # serving precision: None/"f32", "bf16", or "int8"
+        # (layers.apply_precision; DKM's ResNet trunk is conv-heavy so
+        # bf16 is the main lever — int8 touches only the wide GP/DFN
+        # projections)
+        "precision": None,
     }
     required_inputs = ["image0", "image1"]
 
     def _init(self, conf, rng):
         self.params, self.meta = load_params(conf)
+        self.params = apply_precision(self.params, conf.get("precision"))
 
     def _forward(self, data):
         image0 = jnp.asarray(data["image0"], jnp.float32)
@@ -268,8 +274,10 @@ class DKMv3(BaseModel):
             x = img.transpose(0, 2, 3, 1)
             if x.shape[-1] == 1:
                 x = jnp.tile(x, (1, 1, 1, 3))
-            return jax.image.resize(x, (x.shape[0], ch, cw, 3),
-                                    "bilinear")
+            x = jax.image.resize(x, (x.shape[0], ch, cw, 3), "bilinear")
+            if self.conf.get("precision") in ("bf16", "int8"):
+                x = x.astype(jnp.bfloat16)
+            return x
 
         mk = self.conf.get("max_keypoints") or 2048
         out = _apply_batched(self.params, prep(image0), prep(image1),

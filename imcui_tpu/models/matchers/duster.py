@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ...utils.base_model import BaseModel
 from ...utils.weights import load_params_auto
 from ..backbones import dpt, vit
-from ..layers import init_linear, linear, vmap_pairs
+from ..layers import apply_precision, init_linear, linear, vmap_pairs
 
 PUBLISHED = {
     "enc_dim": 1024, "enc_depth": 24, "enc_heads": 16,
@@ -255,11 +255,15 @@ class Duster(BaseModel):
         "max_matches": 2048,
         "subsample": 8,
         "weights": "duster_vit_large",
+        # serving precision: None/"f32", "bf16", or "int8" (W8A8 dynamic
+        # quantisation of the wide ViT projections — layers.apply_precision)
+        "precision": None,
     }
     required_inputs = ["image0", "image1"]
 
     def _init(self, conf, rng):
         self.params, self.meta = load_params(conf)
+        self.params = apply_precision(self.params, conf.get("precision"))
         self._conf_key = tuple(sorted(
             {k: conf[k] for k in
              ("enc_dim", "enc_depth", "enc_heads", "dec_dim", "dec_depth",
@@ -276,7 +280,10 @@ class Duster(BaseModel):
                 img = jnp.tile(img, (1, 3, 1, 1))
             x = img.transpose(0, 2, 3, 1)
             # DUSt3R normalisation: (x - 0.5) / 0.5
-            return (x - 0.5) / 0.5
+            x = (x - 0.5) / 0.5
+            if self.conf.get("precision") in ("bf16", "int8"):
+                x = x.astype(jnp.bfloat16)
+            return x
 
         x0, x1 = prep(image0), prep(image1)
         out = _apply_batched(self.params, x0, x1, self._conf_key)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.weights import load_params_auto
-from ..layers import gelu, init_linear, linear, vmap_pairs
+from ..layers import apply_precision, gelu, init_linear, linear, vmap_pairs
 from . import duster as duster_mod
 from .duster import Duster
 
@@ -137,6 +137,7 @@ class Mast3r(Duster):
 
     def _init(self, conf, rng):
         self.params, self.meta = load_params(conf)
+        self.params = apply_precision(self.params, conf.get("precision"))
         self._conf_key = tuple(sorted(
             {k: conf[k] for k in
              ("enc_dim", "enc_depth", "enc_heads", "dec_dim", "dec_depth",
@@ -151,7 +152,10 @@ class Mast3r(Duster):
         def prep(img):
             if img.shape[1] == 1:
                 img = jnp.tile(img, (1, 3, 1, 1))
-            return (img.transpose(0, 2, 3, 1) - 0.5) / 0.5
+            x = (img.transpose(0, 2, 3, 1) - 0.5) / 0.5
+            if self.conf.get("precision") in ("bf16", "int8"):
+                x = x.astype(jnp.bfloat16)
+            return x
 
         out = _apply_batched(self.params, prep(image0), prep(image1),
                              self._conf_key)

@@ -50,10 +50,11 @@ from ...utils.weights import (download_checkpoint, load_params_auto,
                               load_state_dict)
 from ..backbones import dinov2, vgg
 from ..backbones import vit as vit_mod
-from ..layers import (batch_norm_inference, conv2d, depthwise_conv,
-                      fold2x2, fold2x2_bn, fold2x2_conv1x1, fold2x2_conv5x5,
-                      init_conv, init_layer_norm, init_linear, layer_norm,
-                      linear, relu, unfold2x2, vmap_pairs)
+from ..layers import (apply_precision, batch_norm_inference, conv2d,
+                      depthwise_conv, fold2x2, fold2x2_bn, fold2x2_conv1x1,
+                      fold2x2_conv5x5, init_conv, init_layer_norm,
+                      init_linear, layer_norm, linear, relu, unfold2x2,
+                      vmap_pairs)
 from . import loftr as loftr_mod
 
 # ---------------------------------------------------------------------------
@@ -654,11 +655,16 @@ class Roma(BaseModel):
         "coarse_res": (560, 560),
         "upsample_res": (864, 1152),
         "dinov2_variant": "vitl14",
+        # serving precision: None/"f32", "bf16", or "int8" (W8A8 dynamic
+        # quantisation of the wide DINOv2/decoder projections —
+        # layers.apply_precision)
+        "precision": None,
     }
     required_inputs = ["image0", "image1"]
 
     def _init(self, conf, rng):
         self.params, self.meta = load_params(conf)
+        self.params = apply_precision(self.params, conf.get("precision"))
         self._conf_key = tuple(sorted(
             {"dinov2_variant": conf.get("dinov2_variant", "vitl14")}.items()
         ))
@@ -678,6 +684,8 @@ class Roma(BaseModel):
                     x, (x.shape[0], ch, cw, 3), "bilinear")
             elif x.shape[-1] == 3:
                 x = x.mean(-1, keepdims=True)
+            if self.conf.get("precision") in ("bf16", "int8"):
+                x = x.astype(jnp.bfloat16)
             return x
 
         out = _apply_batched(self.params, prep(image0), prep(image1),

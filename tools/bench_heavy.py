@@ -12,7 +12,7 @@ ON DEVICE per iteration from distinct PRNG keys, iterations chained
 through a scalar accumulator, final value fetched to host
 (utils/benchmark.chain_bench). Random weights — shape-bound throughput.
 
-Usage: python tools/bench_heavy.py [loftr|roma|duster|all] [--bf16]
+Usage: python tools/bench_heavy.py [loftr|roma|duster|dkm|mast3r|all] [--bf16|--int8]
 Writes one JSON line per config (appends to BASELINE_heavy.jsonl).
 """
 
@@ -48,48 +48,47 @@ def _bench(step, params, iters, warmup, batch, label, extra=None):
         f.write(line + "\n")
 
 
-def _cast_bf16(params):
-    return jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, params)
+def _apply_prec(params, prec):
+    # prec: None (f32), "bf16", or "int8" (W8A8 — layers.apply_precision
+    # quantises the wide projections and bf16-casts the rest)
+    from imcui_tpu.models.layers import apply_precision
+    return apply_precision(params, prec)
 
 
-def bench_loftr(bf16=False):
+def bench_loftr(prec=None):
     from imcui_tpu.models.matchers import loftr
 
     B, H, W = 2, 480, 640
     params = loftr.init_params(jax.random.PRNGKey(0))
-    if bf16:
-        params = _cast_bf16(params)
+    params = _apply_prec(params, prec)
     conf_key = (("match_threshold", 0.2), ("max_matches", 1024),
                 ("temperature", 0.1))
     wh = jnp.tile(jnp.asarray([[W, H]], jnp.int32), (B, 1))
 
     def step(params, key, acc):
         k0, k1 = jax.random.split(key)
-        dt = jnp.bfloat16 if bf16 else jnp.float32
+        dt = jnp.bfloat16 if prec else jnp.float32
         i0 = jax.random.uniform(k0, (B, H, W, 1), dt)
         i1 = jax.random.uniform(k1, (B, H, W, 1), dt)
         out = loftr._apply_batched(params, i0, i1, wh, wh, conf_key)
         return acc + out["scores"].astype(jnp.float32).sum()
 
     _bench(step, params, 40, 3, B, f"pairs/s/chip LoFTR@640x480"
-           + ("(bf16)" if bf16 else ""))
+           + (f"({prec})" if prec else ""))
 
 
-def bench_roma(bf16=False, batch=1):
+def bench_roma(prec=None, batch=1):
     from imcui_tpu.models.matchers import roma
 
     B, R = batch, 560
     conf = {"dinov2_variant": "vitl14"}
     params = roma.init_params(jax.random.PRNGKey(0), conf)
-    if bf16:
-        params = _cast_bf16(params)
+    params = _apply_prec(params, prec)
     conf_key = (("dinov2_variant", "vitl14"),)
 
     def step(params, key, acc):
         k0, k1 = jax.random.split(key)
-        dt = jnp.bfloat16 if bf16 else jnp.float32
+        dt = jnp.bfloat16 if prec else jnp.float32
         i0 = jax.random.uniform(k0, (B, R, R, 3), dt)
         i1 = jax.random.uniform(k1, (B, R, R, 3), dt)
         out = roma._apply_batched(params, i0, i1, 2048, conf_key)
@@ -97,17 +96,16 @@ def bench_roma(bf16=False, batch=1):
 
     _bench(step, params, 20, 2, B,
            "pairs/s/chip RoMa(DINOv2-L+GP)@560"
-           + ("(bf16)" if bf16 else "") + f"@B{B}")
+           + (f"({prec})" if prec else "") + f"@B{B}")
 
 
-def bench_duster(bf16=False, batch=1):
+def bench_duster(prec=None, batch=1):
     from imcui_tpu.models.matchers import duster
 
     B, R = batch, 512
     conf = dict(duster.PUBLISHED, max_matches=2048, subsample=8)
     params = duster.init_params(jax.random.PRNGKey(0), conf)
-    if bf16:
-        params = _cast_bf16(params)
+    params = _apply_prec(params, prec)
     conf_key = tuple(sorted(
         {k: conf[k] for k in
          ("enc_dim", "enc_depth", "enc_heads", "dec_dim", "dec_depth",
@@ -118,7 +116,7 @@ def bench_duster(bf16=False, batch=1):
 
     def step(params, key, acc):
         k0, k1, k2 = jax.random.split(key, 3)
-        dt = jnp.bfloat16 if bf16 else jnp.float32
+        dt = jnp.bfloat16 if prec else jnp.float32
         i0 = jax.random.uniform(k0, (B, R, R, 3), dt) * 2 - 1
         i1 = jax.random.uniform(k1, (B, R, R, 3), dt) * 2 - 1
         out = duster._apply_batched(params, i0, i1, conf_key)
@@ -132,10 +130,10 @@ def bench_duster(bf16=False, batch=1):
 
     _bench(step, params, 20, 2, B,
            "pairs/s/chip DUSt3R(ViT-L,dpt)@512+ransac"
-           + ("(bf16)" if bf16 else "") + f"@B{B}")
+           + (f"({prec})" if prec else "") + f"@B{B}")
 
 
-def bench_dkm(bf16=False, batch=1):
+def bench_dkm(prec=None, batch=1):
     """DKMv3 at 544×736 (the closest 32-divisible grid to the published
     540×720 operating point)."""
     from imcui_tpu.models.matchers import dkm
@@ -143,12 +141,11 @@ def bench_dkm(bf16=False, batch=1):
 
     B, H, W = batch, 544, 736
     params = dkm.init_params(jax.random.PRNGKey(0))
-    if bf16:
-        params = _cast_bf16(params)
+    params = _apply_prec(params, prec)
 
     def step(params, key, acc):
         k0, k1 = jax.random.split(key)
-        dt = jnp.bfloat16 if bf16 else jnp.float32
+        dt = jnp.bfloat16 if prec else jnp.float32
         i0 = jax.random.uniform(k0, (B, H, W, 3), dt)
         i1 = jax.random.uniform(k1, (B, H, W, 3), dt)
         out = dkm._apply_batched(params, i0, i1, 2048)
@@ -156,10 +153,10 @@ def bench_dkm(bf16=False, batch=1):
 
     _bench(step, params, 20, 2, B,
            "pairs/s/chip DKMv3(ResNet50+GP)@544x736"
-           + ("(bf16)" if bf16 else "") + f"@B{B}")
+           + (f"({prec})" if prec else "") + f"@B{B}")
 
 
-def bench_mast3r(bf16=False, batch=1):
+def bench_mast3r(prec=None, batch=1):
     """MASt3R: DUSt3R trunk + pixel-shuffle descriptor heads +
     descriptor reciprocal NN at 512²."""
     from imcui_tpu.models.matchers import duster, mast3r
@@ -173,8 +170,7 @@ def bench_mast3r(bf16=False, batch=1):
         params[key]["head_local_features"] = mast3r.init_desc_head(
             k, conf["enc_dim"], conf["dec_dim"], conf["patch"],
             conf["desc_dim"])
-    if bf16:
-        params = _cast_bf16(params)
+    params = _apply_prec(params, prec)
     conf_key = tuple(sorted(
         {k: conf[k] for k in
          ("enc_dim", "enc_depth", "enc_heads", "dec_dim", "dec_depth",
@@ -183,7 +179,7 @@ def bench_mast3r(bf16=False, batch=1):
 
     def step(params, key, acc):
         k0, k1 = jax.random.split(key)
-        dt = jnp.bfloat16 if bf16 else jnp.float32
+        dt = jnp.bfloat16 if prec else jnp.float32
         i0 = jax.random.uniform(k0, (B, R, R, 3), dt) * 2 - 1
         i1 = jax.random.uniform(k1, (B, R, R, 3), dt) * 2 - 1
         out = mast3r._apply_batched(params, i0, i1, conf_key)
@@ -191,23 +187,24 @@ def bench_mast3r(bf16=False, batch=1):
 
     _bench(step, params, 20, 2, B,
            "pairs/s/chip MASt3R(ViT-L,desc)@512"
-           + ("(bf16)" if bf16 else "") + f"@B{B}")
+           + (f"({prec})" if prec else "") + f"@B{B}")
 
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    bf16 = "--bf16" in sys.argv
+    prec = ("int8" if "--int8" in sys.argv
+            else "bf16" if "--bf16" in sys.argv else None)
     batch = 1
     for a in sys.argv:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
     if which in ("loftr", "all"):
-        bench_loftr(bf16)
+        bench_loftr(prec)
     if which in ("roma", "all"):
-        bench_roma(bf16, batch)
+        bench_roma(prec, batch)
     if which in ("duster", "all"):
-        bench_duster(bf16, batch)
+        bench_duster(prec, batch)
     if which in ("dkm", "all"):
-        bench_dkm(bf16, batch)
+        bench_dkm(prec, batch)
     if which in ("mast3r", "all"):
-        bench_mast3r(bf16, batch)
+        bench_mast3r(prec, batch)
