@@ -41,6 +41,115 @@ def load_image_dir(path, size):
     return np.stack(imgs)[:, None]
 
 
+def load_image_corpus(path, h, w, exclude=()):
+    """Recursive real-photo corpus → (N, 1, h, w) float32 [0, 1].
+
+    Unlike load_image_dir this walks subdirectories (dataset layouts like
+    WxBS nest pair folders) and resizes to a fixed (h, w) — aspect is not
+    preserved; homographic adaptation is warp-invariant by construction
+    so the mild anisotropy is free augmentation. ``exclude`` drops any
+    file whose path contains one of the given substrings (held-out eval
+    images must never enter the corpus)."""
+    import cv2
+
+    files = sorted(
+        p for p in pathlib.Path(path).rglob("*")
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".ppm", ".bmp")
+        and not any(x in str(p) for x in exclude))
+    imgs = []
+    for f in files:
+        im = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+        if im is None:
+            continue
+        imgs.append(cv2.resize(im, (w, h)).astype(np.float32) / 255.0)
+    if not imgs:
+        raise ValueError(f"no readable images under {path}")
+    return np.stack(imgs)[:, None]
+
+
+def train_superpoint_adapted(corpus_dir, exclude=(), size=(240, 320),
+                             synth_steps=3000, adapt_rounds=2,
+                             real_steps=1500, n_homog=48, n_max=400,
+                             nms_radius=4, threshold=0.01, batch=8,
+                             synth_mix=4, lr=1e-4, lambda_desc=1.0,
+                             out="runs/sp_adapted", seed=0,
+                             log_fn=print):
+    """Full published SuperPoint recipe: MagicPoint synthetic stage →
+    homographic adaptation on a real-photo corpus (train/adaptation.py).
+
+    Stage 1 trains on the on-device synthetic corner corpus for
+    ``synth_steps``. Each of ``adapt_rounds`` then (a) re-labels the
+    corpus with the CURRENT detector aggregated over ``n_homog`` warps
+    per image and (b) runs ``real_steps`` updates on real labelled
+    batches, interleaving one synthetic step every ``synth_mix`` real
+    steps so the detector keeps its synthetic sharpness (the published
+    recipe's joint corpus). Writes ``superpoint_adapted.npz`` under
+    ``out`` — loadable by the serving extractor via
+    ``conf["checkpoint_npz"]``."""
+    from . import adaptation
+    from . import superpoint as spt
+
+    out = pathlib.Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+    h, w = size
+
+    corpus = jnp.asarray(load_image_corpus(corpus_dir, h, w, exclude))
+    log_fn(f"corpus: {corpus.shape[0]} images at {h}x{w}")
+
+    params, opt_state, optimizer = spt.init_sp_train_state(
+        jax.random.PRNGKey(seed), lr=lr)
+    synth_step = spt.make_sp_train_step(
+        optimizer, batch=batch, h=h, w=w, lambda_desc=lambda_desc)
+    real_step = adaptation.make_real_train_step(
+        optimizer, lambda_desc=lambda_desc)
+
+    key = jax.random.PRNGKey(seed + 1)
+    rng = np.random.default_rng(seed + 2)
+    log = open(out / "log.jsonl", "a")
+    t0 = time.time()
+
+    def emit(rec):
+        rec = {k: (round(float(v), 4) if not isinstance(v, (str, int))
+                   else v) for k, v in rec.items()}
+        rec["sec"] = round(time.time() - t0, 1)
+        log_fn(json.dumps(rec))
+        log.write(json.dumps(rec) + "\n")
+        log.flush()
+
+    for it in range(synth_steps):
+        key, ks = jax.random.split(key)
+        params, opt_state, m = synth_step(params, opt_state, ks)
+        if it % 100 == 0 or it == synth_steps - 1:
+            emit({"stage": "synthetic", "step": it, **m})
+
+    for rnd in range(adapt_rounds):
+        key, kl = jax.random.split(key)
+        corners, cmask = adaptation.label_images(
+            params, corpus, kl, n_homog=n_homog, n_max=n_max,
+            nms_radius=nms_radius, threshold=threshold)
+        emit({"stage": f"label-{rnd}",
+              "mean_corners": float(cmask.sum(1).mean()),
+              "min_corners": float(cmask.sum(1).min())})
+        for it in range(real_steps):
+            key, ks = jax.random.split(key)
+            if synth_mix and (it + 1) % synth_mix == 0:
+                params, opt_state, m = synth_step(params, opt_state, ks)
+                tag = "synthetic-mix"
+            else:
+                idx = rng.integers(0, corpus.shape[0], size=batch)
+                params, opt_state, m = real_step(
+                    params, opt_state, ks, corpus[idx], corners[idx],
+                    cmask[idx])
+                tag = f"real-{rnd}"
+            if it % 100 == 0 or it == real_steps - 1:
+                emit({"stage": tag, "step": it, **m})
+        save_tree_npz(out / f"superpoint_adapted_r{rnd}.npz", params)
+
+    save_tree_npz(out / "superpoint_adapted.npz", params)
+    log_fn(f"saved {out / 'superpoint_adapted.npz'}")
+    return params
+
+
 def eval_recall(lg_params, sp_params, images, key, max_keypoints, px=3.0):
     """Match recall of the CURRENT matcher on fresh held-out warps:
     fraction of GT correspondences recovered by mutual-argmax decoding."""

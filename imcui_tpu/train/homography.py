@@ -68,12 +68,14 @@ def warp_images(images, Hs):
     def one(img, hi):
         src = warp_points(hi, grid)  # (HW, 2) xy in the source image
         x, y = src[:, 0], src[:, 1]
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx, fy = x - x0, y - y0
         valid = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
-        x0i = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
-        y0i = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
+        x0i = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+        y0i = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+        # fractional offsets against the CLIPPED base: at the exact last
+        # row/column floor(x) = w-1 but the base tap is w-2, so fx must
+        # be 1 there (an offset against floor(x) reads pixel w-2 with
+        # full weight — an off-by-one found by the identity-warp test)
+        fx, fy = x - x0i, y - y0i
         flat = img.reshape(c, -1)  # (C, H*W)
         base = y0i * w + x0i
 
