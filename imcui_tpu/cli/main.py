@@ -136,8 +136,13 @@ def train():
 @click.option("--eval-every", default=200, type=int)
 @click.option("--out", default="runs/lg_homog", type=click.Path())
 @click.option("--seed", default=0, type=int)
+@click.option("--sp-checkpoint-npz", default=None,
+              type=click.Path(exists=True),
+              help="Locally trained SuperPoint teacher (e.g. the "
+                   "'train superpoint-adapted' output).")
 def train_lightglue_cmd(steps, batch, size, max_keypoints, n_layers, lr,
-                        model_parallel, image_dir, eval_every, out, seed):
+                        model_parallel, image_dir, eval_every, out, seed,
+                        sp_checkpoint_npz):
     """LightGlue homography pre-training (frozen SuperPoint teacher)."""
     from ..train.drivers import train_lightglue
 
@@ -145,6 +150,7 @@ def train_lightglue_cmd(steps, batch, size, max_keypoints, n_layers, lr,
                     max_keypoints=max_keypoints, n_layers=n_layers, lr=lr,
                     model_parallel=model_parallel, image_dir=image_dir,
                     eval_every=eval_every, out=out, seed=seed,
+                    sp_checkpoint_npz=sp_checkpoint_npz,
                     log_fn=click.echo)
 
 
@@ -163,6 +169,42 @@ def train_superpoint_cmd(steps, batch, size, lr, lambda_desc, out, seed):
     train_superpoint(steps=steps, batch=batch, size=size, lr=lr,
                      lambda_desc=lambda_desc, out=out, seed=seed,
                      log_fn=click.echo)
+
+
+@train.command("superpoint-adapted")
+@click.option("--corpus", required=True, type=click.Path(exists=True),
+              help="Real-photo corpus directory (searched recursively).")
+@click.option("--exclude", multiple=True,
+              help="Path substrings to hold out of the corpus.")
+@click.option("--height", default=240, type=int)
+@click.option("--width", default=320, type=int)
+@click.option("--synth-steps", default=3000, type=int)
+@click.option("--adapt-rounds", default=2, type=int)
+@click.option("--real-steps", default=1500, type=int)
+@click.option("--n-homog", default=48, type=int,
+              help="Views aggregated per image when labelling.")
+@click.option("--n-max", default=400, type=int)
+@click.option("--threshold", default=0.01, type=float)
+@click.option("--batch", default=8, type=int)
+@click.option("--synth-mix", default=4, type=int,
+              help="One synthetic step every N real steps (0 = off).")
+@click.option("--lr", default=1e-4, type=float)
+@click.option("--out", default="runs/sp_adapted", type=click.Path())
+@click.option("--seed", default=0, type=int)
+def train_superpoint_adapted_cmd(corpus, exclude, height, width,
+                                 synth_steps, adapt_rounds, real_steps,
+                                 n_homog, n_max, threshold, batch,
+                                 synth_mix, lr, out, seed):
+    """Full published SuperPoint recipe: MagicPoint synthetic stage +
+    homographic adaptation onto a real-photo corpus."""
+    from ..train.drivers import train_superpoint_adapted
+
+    train_superpoint_adapted(
+        corpus, exclude=tuple(exclude), size=(height, width),
+        synth_steps=synth_steps, adapt_rounds=adapt_rounds,
+        real_steps=real_steps, n_homog=n_homog, n_max=n_max,
+        threshold=threshold, batch=batch, synth_mix=synth_mix, lr=lr,
+        out=out, seed=seed, log_fn=click.echo)
 
 
 def run():

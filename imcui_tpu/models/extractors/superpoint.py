@@ -139,11 +139,19 @@ def dense_scores(params, feats):
 
 
 def dense_descriptors(params, feats):
-    """Descriptor head → (B, Hc, Wc, 256) f32, L2-normalised per cell."""
+    """Descriptor head → (B, Hc, Wc, 256) f32, L2-normalised per cell.
+
+    The norm is sqrt(max(‖d‖², ε)) rather than max(‖d‖, ε): identical
+    for any real descriptor, but the gradient of ‖d‖ at d = 0 is 0/0 and
+    clamping AFTER the sqrt does not block it. Exactly-zero cells occur
+    in training (warped-out borders are exact zeros, conv biases start
+    at zero, so the whole column stays zero); with the clamp inside, the
+    backward picks the constant branch and the gradient is cleanly 0
+    (found as all-leaf NaN grads in the homographic-adaptation run)."""
     cda = relu(conv2d(params["convDa"], feats))
     desc = conv2d(params["convDb"], cda).astype(jnp.float32)
-    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
-    return desc / jnp.maximum(norm, 1e-8)
+    sq = (desc * desc).sum(-1, keepdims=True)
+    return desc / jnp.sqrt(jnp.maximum(sq, 1e-16))
 
 
 @functools.partial(

@@ -187,7 +187,7 @@ def eval_recall(lg_params, sp_params, images, key, max_keypoints, px=3.0):
 def train_lightglue(steps=1000, batch=8, size=512, max_keypoints=512,
                     n_layers=9, lr=1e-4, warmup=100, model_parallel=1,
                     image_dir=None, eval_every=200, out="runs/lg_homog",
-                    seed=0, log_fn=print):
+                    seed=0, sp_checkpoint_npz=None, log_fn=print):
     """LightGlue homography pre-training (Lindenberger et al. §4):
     frozen SuperPoint, random-homography pairs, deep-supervised
     assignment NLL + token-confidence heads. Returns the final params
@@ -202,7 +202,8 @@ def train_lightglue(steps=1000, batch=8, size=512, max_keypoints=512,
     optimizer = step.make_optimizer(sched)
     lg_params, _, sp_params, _ = step.init_train_state(
         rng=jax.random.PRNGKey(seed), n_layers=n_layers,
-        max_keypoints=max_keypoints, lr=lr)
+        max_keypoints=max_keypoints, lr=lr,
+        sp_checkpoint_npz=sp_checkpoint_npz)
 
     n_dev = len(jax.devices())
     mesh = mesh_lib.make_mesh(n_dev, model_parallel=model_parallel)

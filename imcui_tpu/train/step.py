@@ -156,14 +156,20 @@ def make_train_step(optimizer, **static_kwargs):
     return jax.jit(fn)
 
 
-def init_train_state(rng=None, n_layers=9, max_keypoints=256, lr=1e-4):
+def init_train_state(rng=None, n_layers=9, max_keypoints=256, lr=1e-4,
+                     sp_checkpoint_npz=None):
     """(lg_params, opt_state, sp_params, optimizer) ready for
     train_step; sp defaults to the pretrained checkpoint when one is
-    reachable, random init otherwise (utils/weights.py fallback)."""
+    reachable, random init otherwise (utils/weights.py fallback).
+    ``sp_checkpoint_npz`` plugs in a locally trained teacher (e.g. the
+    homographic-adaptation output, train/drivers.py) — the natural
+    pipeline where no upstream checkpoint can be downloaded."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(rng)
-    sp_params, _ = sp.load_params({})
+    sp_conf = ({"checkpoint_npz": str(sp_checkpoint_npz)}
+               if sp_checkpoint_npz else {})
+    sp_params, _ = sp.load_params(sp_conf)
     lg_conf = {"features": "superpoint", "descriptor_dim": 256,
                "num_heads": 4, "n_layers": n_layers,
                "add_scale_ori": False}

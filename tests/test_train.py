@@ -235,6 +235,25 @@ def test_trained_tree_roundtrips_into_serving(tmp_path):
         sp.load_params({"checkpoint_npz": str(tmp_path / "bad.npz")})
 
 
+def test_lightglue_teacher_loads_local_npz(tmp_path):
+    """init_train_state(sp_checkpoint_npz=...) must use the locally
+    trained SuperPoint as the frozen teacher — the pipeline that chains
+    'train superpoint-adapted' into 'train lightglue' offline."""
+    from imcui_tpu.models.extractors import superpoint as sp
+    from imcui_tpu.utils import weights as wutils
+
+    trained = sp.init_params(jax.random.PRNGKey(11))
+    path = tmp_path / "sp_adapted.npz"
+    wutils.save_tree_npz(path, trained)
+
+    _, _, sp_params, _ = step.init_train_state(
+        rng=jax.random.PRNGKey(0), n_layers=2, max_keypoints=32,
+        sp_checkpoint_npz=path)
+    np.testing.assert_array_equal(
+        np.asarray(sp_params["conv1a"]["w"]),
+        np.asarray(trained["conv1a"]["w"]))
+
+
 def test_train_step_sharded_matches_single_device():
     """dp=2 × tp=2 on the virtual mesh reproduces the single-device
     update (same program, shardings only change placement)."""
