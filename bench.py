@@ -45,9 +45,24 @@ ITERS = 100
 
 
 def main():
+    import pathlib
+
     from imcui_tpu.pipeline import two_view
 
+    # Prefer upstream checkpoints (download path); with no egress, fall
+    # back to the locally trained trees under weights/ so the bench
+    # exercises real-weight effects (threshold masking, match pruning)
+    # instead of random init. Shapes are static either way, so the
+    # metric is comparable across weight sources.
+    wdir = pathlib.Path(__file__).resolve().parent / "weights"
+    sp_npz = wdir / "superpoint_adapted.npz"
+    lg_npz = wdir / "lightglue_selftrained.npz"
     params, meta = two_view.load_pretrained(n_layers=N_LAYERS)
+    if not meta["superpoint"].get("pretrained") and sp_npz.exists():
+        params, meta = two_view.load_pretrained(
+            n_layers=N_LAYERS, sp_npz=sp_npz,
+            lg_npz=lg_npz if lg_npz.exists() else None)
+        print(f"using locally trained weights: {meta}", flush=True)
     valid = jnp.tile(jnp.asarray([[W, H]], jnp.int32), (BATCH, 1))
 
     def step(params, key, acc):

@@ -38,12 +38,17 @@ def init_params(rng=None, n_layers=9, max_keypoints=1024):
     }
 
 
-def load_pretrained(n_layers=9):
+def load_pretrained(n_layers=9, sp_npz=None, lg_npz=None):
+    """Weights for the fused step: upstream checkpoints when an egress
+    exists, else locally trained npz trees (weights/README.md) via
+    sp_npz/lg_npz, else deterministic random init."""
     params = init_params(n_layers=n_layers)
-    sp_params, sp_meta = sp.load_params({})
+    sp_params, sp_meta = sp.load_params(
+        {"checkpoint_npz": str(sp_npz)} if sp_npz else {})
     lg_params, lg_meta = lg.load_params({
         "features": "superpoint", "descriptor_dim": 256, "num_heads": 4,
         "n_layers": n_layers, "model_name": "superpoint_lightglue.pth",
+        **({"checkpoint_npz": str(lg_npz)} if lg_npz else {}),
     })
     params["superpoint"] = sp_params
     params["lightglue"] = lg_params

@@ -7,6 +7,8 @@ pretrained weights; without them (no egress here) it is skipped, and the
 moment a conversion starts loading real weights the bar applies.
 """
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -15,6 +17,13 @@ from imcui_tpu.eval.warp import evaluate_warp
 from imcui_tpu.utils.image import read_image
 
 IMG = "/root/reference/tests/data/02928139_3448003521.jpg"
+
+# Locally trained checkpoints (weights/README.md): produced by
+# `imcui-tpu train` inside this repo — the gate photo (and its rot/scale
+# derivatives) is excluded from the training corpus, so these cases are
+# genuine held-out evals that ASSERT offline today.
+WEIGHTS = pathlib.Path(__file__).resolve().parents[1] / "weights"
+SP_TRAINED = WEIGHTS / "superpoint_adapted.npz"
 
 
 def _sparse_conf(feature_name, matcher_name="nearest_neighbor", **feat):
@@ -43,6 +52,11 @@ CASES = [
      False, 0.7, 5.0),
     ("superpoint+mnn", lambda: _sparse_conf(
         "superpoint", keypoint_threshold=1e-4), True, 0.6, 8.0),
+    # learned pipeline asserting TODAY on the locally trained detector
+    # (synthetic stage + homographic adaptation; weights/README.md)
+    ("superpoint_trained+mnn", lambda: _sparse_conf(
+        "superpoint", keypoint_threshold=5e-4,
+        checkpoint_npz=str(SP_TRAINED)), False, 0.85, 3.0),
     # enrolled learned pipelines: the bar arms the moment a conversion
     # reports pretrained weights (VERDICT r2 #8)
     ("dog+sosnet+mnn",
@@ -77,6 +91,8 @@ def photo():
     CASES, ids=[c[0] for c in CASES])
 def test_warp_accuracy(name, conf_fn, needs_pretrained, min_recall,
                        max_err, photo):
+    if "_trained" in name and not SP_TRAINED.exists():
+        pytest.skip("locally trained checkpoint not present")
     api = ImageMatchingAPI(conf=conf_fn())
     if needs_pretrained:
         metas = [m for m in (getattr(api.extractor, "meta", None),
