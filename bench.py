@@ -57,11 +57,17 @@ def main():
     wdir = pathlib.Path(__file__).resolve().parent / "weights"
     sp_npz = wdir / "superpoint_adapted.npz"
     lg_npz = wdir / "lightglue_selftrained.npz"
-    params, meta = two_view.load_pretrained(n_layers=N_LAYERS)
-    if not meta["superpoint"].get("pretrained") and sp_npz.exists():
-        params, meta = two_view.load_pretrained(
-            n_layers=N_LAYERS, sp_npz=sp_npz,
-            lg_npz=lg_npz if lg_npz.exists() else None)
+    # decide the weight source ONCE (advisor r4): probe the upstream
+    # checkpoint; unreachable + local trees present -> locally trained
+    from imcui_tpu.utils.weights import download_checkpoint
+
+    use_local = (download_checkpoint("superpoint_v1.pth") is None
+                 and sp_npz.exists())
+    params, meta = two_view.load_pretrained(
+        n_layers=N_LAYERS,
+        sp_npz=sp_npz if use_local else None,
+        lg_npz=lg_npz if use_local and lg_npz.exists() else None)
+    if use_local:
         print(f"using locally trained weights: {meta}", flush=True)
     valid = jnp.tile(jnp.asarray([[W, H]], jnp.int32), (BATCH, 1))
 

@@ -207,6 +207,69 @@ def train_superpoint_adapted_cmd(corpus, exclude, height, width,
         out=out, seed=seed, log_fn=click.echo)
 
 
+@cli.group("eval")
+def eval_group():
+    """Accuracy evaluations (relative pose AUC — the north-star metric;
+    BASELINE.md). Consumes real MegaDepth pair lists when available, or
+    manufactures calibrated synthetic-pose pairs offline."""
+
+
+@eval_group.command("pose")
+@click.option("--pairs-json", default=None, type=click.Path(exists=True),
+              help="Existing pair list (eval/megadepth schema, e.g. "
+                   "converted MegaDepth-1500). Omitted = synthesise "
+                   "pairs from --corpus.")
+@click.option("--corpus", default="runs/corpus_clean",
+              type=click.Path(), help="Photo dir for synthetic pairs.")
+@click.option("--n-images", default=10, type=int)
+@click.option("--n-poses", default=3, type=int,
+              help="Pose draws per image.")
+@click.option("--height", default=480, type=int)
+@click.option("--width", default=640, type=int)
+@click.option("--matcher", default="superpoint+lightglue")
+@click.option("--max-pairs", default=None, type=int)
+@click.option("--ransac-threshold-px", default=0.75, type=float)
+@click.option("--out", default="runs/pose_eval", type=click.Path())
+@click.option("--seed", default=0, type=int)
+def eval_pose(pairs_json, corpus, n_images, n_poses, height, width,
+              matcher, max_pairs, ransac_threshold_px, out, seed):
+    """Relative-pose AUC@5/10/20 through the full on-device chain
+    (match -> fundamental RANSAC -> essential -> pose recovery)."""
+    import json as _json
+    import pathlib as _pathlib
+
+    from ..eval import megadepth, synthpose
+
+    out_dir = _pathlib.Path(out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if pairs_json:
+        with open(pairs_json) as f:
+            pairs = _json.load(f)
+        source = pairs_json
+    else:
+        photos = sorted(
+            p for p in _pathlib.Path(corpus).iterdir()
+            if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".ppm",
+                                    ".bmp"))[:n_images]
+        pairs = synthpose.generate_pairs(
+            photos, out_dir / "pairs", n_pose_per_image=n_poses,
+            size=(height, width), seed=seed)
+        source = f"synthpose({len(photos)} photos x {n_poses} poses)"
+    result = megadepth.evaluate_matcher(
+        pairs, matcher, max_pairs=max_pairs,
+        ransac_threshold_px=ransac_threshold_px)
+    summary = {k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in result.items() if k != "errors"}
+    click.echo(f"pose eval [{matcher}] on {source}: "
+               f"{_json.dumps(summary)}")
+    rec = {"matcher": matcher, "source": source,
+           "n_pairs": len(pairs), **result}
+    with open(out_dir / f"pose_{matcher.replace('/', '_')}.json",
+              "w") as f:
+        _json.dump(rec, f)
+    click.echo(f"wrote {out_dir}/pose_{matcher.replace('/', '_')}.json")
+
+
 def run():
     try:
         cli(obj={})

@@ -118,22 +118,30 @@ def api_matcher_fn(api):
     return fn
 
 
-def main(pairs_json, matcher="superpoint+lightglue", max_pairs=None,
-         output=None):
-    """CLI entry: evaluate a zoo matcher on a converted pair list."""
+def evaluate_matcher(pairs, matcher="superpoint+lightglue",
+                     max_pairs=None, ransac_threshold_px=0.75):
+    """Evaluate a named zoo matcher on a pair list (real MegaDepth or
+    eval/synthpose synthetic-pose pairs — same schema)."""
     from ..api.core import ImageMatchingAPI
     from ..ui.utils import get_matcher_zoo, load_config
     from ..cli.main import get_default_config_path
 
-    with open(pairs_json) as f:
-        pairs = json.load(f)
     cfg = load_config(get_default_config_path())
     zoo = get_matcher_zoo(cfg["matcher_zoo"])
     conf = dict(zoo[matcher])
     conf["ransac"] = {"enable": False}
     api = ImageMatchingAPI(conf=conf)
-    result = evaluate_pairs(api_matcher_fn(api), pairs,
-                            max_pairs=max_pairs)
+    return evaluate_pairs(api_matcher_fn(api), pairs,
+                          ransac_threshold_px=ransac_threshold_px,
+                          max_pairs=max_pairs)
+
+
+def main(pairs_json, matcher="superpoint+lightglue", max_pairs=None,
+         output=None):
+    """CLI entry: evaluate a zoo matcher on a converted pair list."""
+    with open(pairs_json) as f:
+        pairs = json.load(f)
+    result = evaluate_matcher(pairs, matcher, max_pairs=max_pairs)
     summary = {k: v for k, v in result.items() if k != "errors"}
     logger.info(f"MegaDepth eval [{matcher}]: {summary}")
     if output:

@@ -81,8 +81,12 @@ def resize_align_corners(x, out_hw):
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
-    ry = _interp_matrix(h, oh).astype(x.dtype)
-    rx = _interp_matrix(w, ow).astype(x.dtype)
+    # interpolation weights stay f32 regardless of the activation dtype
+    # (advisor r4: bf16-rounding the constant matrices themselves loses
+    # precision the old gather form kept); the mixed-dtype contraction
+    # accumulates in f32 via preferred_element_type.
+    ry = _interp_matrix(h, oh)
+    rx = _interp_matrix(w, ow)
     y = jnp.einsum("Oh,hwc->Owc", ry, x,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     return jnp.einsum("Pw,Owc->OPc", rx, y,

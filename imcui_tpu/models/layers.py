@@ -247,7 +247,7 @@ def fold2x2_conv1x1(p):
     eye = jnp.eye(4, dtype=w.dtype)
     wf = jnp.einsum("ab,io->aibo", eye, w).reshape(
         1, 1, 4 * w.shape[0], 4 * w.shape[1])
-    pf = {"w": wf.reshape(1, 1, 4 * w.shape[0], 4 * w.shape[1])}
+    pf = {"w": wf}
     if "b" in p and p["b"] is not None:
         pf["b"] = jnp.tile(p["b"], 4)
     return pf

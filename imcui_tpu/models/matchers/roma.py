@@ -604,7 +604,7 @@ def to_pixel_coordinates(warp_coords, h, w):
     )
 
 
-def sample(warp, cert, h, w, num=2048, threshold=0.0):
+def sample(warp, cert, h, w, num=2048, threshold=0.0, recall_target=0.95):
     """Draw the top-``num`` correspondences by certainty (the reference's
     roma.sample analog, deterministic top-k instead of multinomial —
     upstream draws multinomially from the certainty mass, so exact rank
@@ -612,17 +612,21 @@ def sample(warp, cert, h, w, num=2048, threshold=0.0):
     exact sort: the exact ``lax.top_k`` over the 560² = 313k certainty
     grid cost ~3 ms/pair measured at the bench level (101.1 → 97.9
     ms/pair, r4; the rest of that round's gap was the vmap(B=1)
-    wrapper — see layers.vmap_pairs)."""
+    wrapper — see layers.vmap_pairs). ``recall_target`` is exposed via
+    conf["sample_recall_target"] (advisor r4); pass 1.0 for the exact
+    top-k when which correspondences reach RANSAC must be bit-stable."""
     hc, wc = cert.shape
     src = coord_grid(hc, wc)  # normalised source coords
     k0 = to_pixel_coordinates(src, h, w)
     k1 = to_pixel_coordinates(warp.reshape(-1, 2), h, w)
     flat_cert = cert.reshape(-1)
-    if num < flat_cert.shape[0]:
-        top, idx = jax.lax.approx_max_k(flat_cert, num,
-                                        recall_target=0.95)
-    else:
+    if num >= flat_cert.shape[0]:
         top, idx = jax.lax.top_k(flat_cert, flat_cert.shape[0])
+    elif recall_target >= 1.0:
+        top, idx = jax.lax.top_k(flat_cert, num)
+    else:
+        top, idx = jax.lax.approx_max_k(flat_cert, num,
+                                        recall_target=recall_target)
     valid = top > threshold
     return (jnp.where(valid[:, None], k0[idx], 0.0),
             jnp.where(valid[:, None], k1[idx], 0.0),
@@ -636,7 +640,9 @@ def _apply_batched(params, image0, image1, max_matches, conf_key=()):
     def per_pair(a, b):
         warp, cert = match(params, a, b, conf)
         h, w = a.shape[0], a.shape[1]
-        k0, k1, score, valid = sample(warp, cert, h, w, num=max_matches)
+        k0, k1, score, valid = sample(
+            warp, cert, h, w, num=max_matches,
+            recall_target=conf.get("sample_recall_target", 0.95))
         return {"keypoints0": k0, "keypoints1": k1, "scores": score,
                 "mask": valid}
 
@@ -665,9 +671,10 @@ class Roma(BaseModel):
     def _init(self, conf, rng):
         self.params, self.meta = load_params(conf)
         self.params = apply_precision(self.params, conf.get("precision"))
-        self._conf_key = tuple(sorted(
-            {"dinov2_variant": conf.get("dinov2_variant", "vitl14")}.items()
-        ))
+        self._conf_key = tuple(sorted({
+            "dinov2_variant": conf.get("dinov2_variant", "vitl14"),
+            "sample_recall_target": conf.get("sample_recall_target", 0.95),
+        }.items()))
 
     def _forward(self, data):
         image0 = jnp.asarray(data["image0"], jnp.float32)

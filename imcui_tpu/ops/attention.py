@@ -135,13 +135,20 @@ def flash_attention(q, k, v, mask_k, blk_q=256, blk_k=256):
     if pl is None or nq % blk_q or nk % blk_k or dh % 64 or nk < 2048:
         return mha(q, k, v, mask_k=mask_k)
 
-    scale = 1.0 / (dh ** 0.5)
     maskf = jnp.broadcast_to(
         mask_k.astype(jnp.float32)[None, None], (h, 1, nk)
     )
+    return _flash_pallas(blk_q, blk_k, q, k, v, maskf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_pallas(blk_q, blk_k, q, k, v, maskf):
+    h, nq, dh = q.shape
+    nk = k.shape[1]
     grid = (h, nq // blk_q)
     kernel = functools.partial(
-        _flash_attn_kernel, blk_k=blk_k, n_k=nk // blk_k, scale=scale
+        _flash_attn_kernel, blk_k=blk_k, n_k=nk // blk_k,
+        scale=1.0 / (dh ** 0.5)
     )
     return pl.pallas_call(
         kernel,
@@ -162,12 +169,52 @@ def flash_attention(q, k, v, mask_k, blk_q=256, blk_k=256):
     )(q, k, v, maskf)
 
 
+def _flash_fwd(blk_q, blk_k, q, k, v, maskf):
+    return _flash_pallas(blk_q, blk_k, q, k, v, maskf), (q, k, v, maskf)
+
+
+def _flash_bwd(blk_q, blk_k, res, g):
+    q, k, v, maskf = res
+    _, vjp = jax.vjp(_fused_attn_xla, q, k, v, maskf)
+    return vjp(g)
+
+
+_flash_pallas.defvjp(_flash_fwd, _flash_bwd)
+
+
 try:  # Pallas is TPU-only at import time on some hosts; degrade gracefully
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 except Exception:  # pragma: no cover
     pl = None
     pltpu = None
+
+
+# ---------------------------------------------------------------------------
+# Autodiff for the Pallas kernels.
+#
+# pallas_call has no automatic VJP, so each fused kernel is wrapped in
+# jax.custom_vjp: the FORWARD runs the VMEM-resident Pallas program, the
+# BACKWARD re-derives gradients through a mathematically identical XLA
+# restatement (float masks, same NEG_INF masking and max-subtracted
+# softmax). This is the standard flash-attention recipe — recompute the
+# logits on the backward pass instead of saving them — and it is what
+# lets the TRAINING subsystem (train/step.py) differentiate straight
+# through the serving attention path on the chip rather than keeping a
+# separate slow path for training.
+# ---------------------------------------------------------------------------
+
+
+def _fused_attn_xla(q, k, v, maskf):
+    """Differentiable XLA restatement of _fused_attn_kernel.
+    maskf: (H, 1, Nk) float {0,1}."""
+    dh = q.shape[-1]
+    s = jnp.einsum("hnd,hmd->hnm", q, k,
+                   preferred_element_type=jnp.float32) / (dh ** 0.5)
+    s = jnp.where(maskf > 0, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("hnm,hmd->hnd", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -202,20 +249,10 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, maskk_ref, o_ref, *, scale):
     ).astype(o_ref.dtype)
 
 
-def fused_attention_small(q, k, v, mask_k=None):
-    """VMEM-resident attention for nk ≤ 2048. q: (H, Nq, Dh), k/v:
-    (H, Nk, Dh), mask_k: (Nk,) bool. Falls back to mha off-TPU or at
-    unsupported shapes."""
+@jax.custom_vjp
+def _fused_attn_pallas(q, k, v, maskf):
     h, nq, dh = q.shape
     nk = k.shape[1]
-    if (pl is None or jax.default_backend() != "tpu" or nk > 2048
-            or nq % 128 or nk % 128 or dh % 64):
-        return mha(q, k, v, mask_k=mask_k)
-    if mask_k is None:
-        maskf = jnp.ones((h, 1, nk), jnp.float32)
-    else:
-        maskf = jnp.broadcast_to(
-            mask_k.astype(jnp.float32)[None, None], (h, 1, nk))
     kernel = functools.partial(_fused_attn_kernel, scale=1.0 / dh ** 0.5)
     return pl.pallas_call(
         kernel,
@@ -234,6 +271,37 @@ def fused_attention_small(q, k, v, mask_k=None):
         out_specs=pl.BlockSpec((1, nq, dh), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )(q, k, v, maskf)
+
+
+def _fused_attn_fwd(q, k, v, maskf):
+    return _fused_attn_pallas(q, k, v, maskf), (q, k, v, maskf)
+
+
+def _fused_attn_bwd(res, g):
+    q, k, v, maskf = res
+    _, vjp = jax.vjp(_fused_attn_xla, q, k, v, maskf)
+    return vjp(g)
+
+
+_fused_attn_pallas.defvjp(_fused_attn_fwd, _fused_attn_bwd)
+
+
+def fused_attention_small(q, k, v, mask_k=None):
+    """VMEM-resident attention for nk ≤ 2048. q: (H, Nq, Dh), k/v:
+    (H, Nk, Dh), mask_k: (Nk,) bool. Falls back to mha off-TPU or at
+    unsupported shapes. Differentiable (custom VJP recomputes through
+    the XLA restatement)."""
+    h, nq, dh = q.shape
+    nk = k.shape[1]
+    if (pl is None or jax.default_backend() != "tpu" or nk > 2048
+            or nq % 128 or nk % 128 or dh % 64):
+        return mha(q, k, v, mask_k=mask_k)
+    if mask_k is None:
+        maskf = jnp.ones((h, 1, nk), jnp.float32)
+    else:
+        maskf = jnp.broadcast_to(
+            mask_k.astype(jnp.float32)[None, None], (h, 1, nk))
+    return _fused_attn_pallas(q, k, v, maskf)
 
 
 def mha_auto(q, k, v):
@@ -286,35 +354,27 @@ def _bidir_attn_kernel(a0_ref, a1_ref, v0_ref, v1_ref, m0_ref, m1_ref,
     ).astype(o1_ref.dtype)
 
 
-def bidirectional_attention(a0, a1, v0, v1, mask0=None, mask1=None):
-    """LightGlue cross-attention: ONE QKᵀ, softmaxed along both axes,
-    two readouts — all VMEM-resident. a0: (H, N, Dh), a1: (H, M, Dh),
-    v0/v1 likewise. Returns (m0 (H, N, Dh), m1 (H, M, Dh)).
-    Falls back to the two-softmax XLA path off-TPU."""
+def _bidir_xla(a0, a1, v0, v1, mk0, mk1):
+    """Differentiable XLA restatement of _bidir_attn_kernel.
+    mk0: (H, N, 1), mk1: (H, 1, M) float {0,1}."""
+    dh = a0.shape[-1]
+    logits = jnp.einsum("hnd,hmd->hnm", a0, a1,
+                        preferred_element_type=jnp.float32) / (dh ** 0.5)
+    l01 = jnp.where(mk1 > 0, logits, NEG_INF)
+    l10 = jnp.where(mk0 > 0, logits, NEG_INF)
+    att01 = jax.nn.softmax(l01, axis=-1)
+    att10 = jax.nn.softmax(l10, axis=-2)
+    m0 = jnp.einsum("hnm,hmd->hnd", att01.astype(a0.dtype), v1,
+                    preferred_element_type=jnp.float32).astype(a0.dtype)
+    m1 = jnp.einsum("hnm,hnd->hmd", att10.astype(a1.dtype), v0,
+                    preferred_element_type=jnp.float32).astype(a1.dtype)
+    return m0, m1
+
+
+@jax.custom_vjp
+def _bidir_pallas(a0, a1, v0, v1, mk0, mk1):
     h, n, dh = a0.shape
     m = a1.shape[1]
-    ok = (pl is not None and jax.default_backend() == "tpu"
-          and max(n, m) <= 2048 and n % 128 == 0 and m % 128 == 0
-          and dh % 64 == 0)
-    if not ok:
-        logits = jnp.einsum("hnd,hmd->hnm", a0, a1,
-                            preferred_element_type=jnp.float32
-                            ) / jnp.sqrt(dh).astype(jnp.float32)
-        l01 = logits if mask1 is None else jnp.where(
-            mask1[None, None, :], logits, NEG_INF)
-        l10 = logits if mask0 is None else jnp.where(
-            mask0[None, :, None], logits, NEG_INF)
-        att01 = jax.nn.softmax(l01, axis=-1)
-        att10 = jax.nn.softmax(l10, axis=-2)
-        m0 = jnp.einsum("hnm,hmd->hnd", att01.astype(a0.dtype), v1,
-                        preferred_element_type=jnp.float32).astype(a0.dtype)
-        m1 = jnp.einsum("hnm,hnd->hmd", att10.astype(a1.dtype), v0,
-                        preferred_element_type=jnp.float32).astype(a1.dtype)
-        return m0, m1
-    mk0 = (jnp.ones((n,)) if mask0 is None else mask0).astype(jnp.float32)
-    mk1 = (jnp.ones((m,)) if mask1 is None else mask1).astype(jnp.float32)
-    mk0 = jnp.broadcast_to(mk0[None, :, None], (h, n, 1))
-    mk1 = jnp.broadcast_to(mk1[None, None, :], (h, 1, m))
     kernel = functools.partial(_bidir_attn_kernel, scale=1.0 / dh ** 0.5)
     return pl.pallas_call(
         kernel,
@@ -342,3 +402,35 @@ def bidirectional_attention(a0, a1, v0, v1, mask0=None, mask1=None):
                          memory_space=pltpu.VMEM),
         ),
     )(a0, a1, v0, v1, mk0, mk1)
+
+
+def _bidir_fwd(a0, a1, v0, v1, mk0, mk1):
+    return _bidir_pallas(a0, a1, v0, v1, mk0, mk1), (a0, a1, v0, v1, mk0, mk1)
+
+
+def _bidir_bwd(res, g):
+    _, vjp = jax.vjp(_bidir_xla, *res)
+    return vjp(g)
+
+
+_bidir_pallas.defvjp(_bidir_fwd, _bidir_bwd)
+
+
+def bidirectional_attention(a0, a1, v0, v1, mask0=None, mask1=None):
+    """LightGlue cross-attention: ONE QKᵀ, softmaxed along both axes,
+    two readouts — all VMEM-resident. a0: (H, N, Dh), a1: (H, M, Dh),
+    v0/v1 likewise. Returns (m0 (H, N, Dh), m1 (H, M, Dh)).
+    Falls back to the two-softmax XLA path off-TPU. Differentiable
+    (custom VJP recomputes through the XLA restatement)."""
+    h, n, dh = a0.shape
+    m = a1.shape[1]
+    ok = (pl is not None and jax.default_backend() == "tpu"
+          and max(n, m) <= 2048 and n % 128 == 0 and m % 128 == 0
+          and dh % 64 == 0)
+    mk0 = (jnp.ones((n,)) if mask0 is None else mask0).astype(jnp.float32)
+    mk1 = (jnp.ones((m,)) if mask1 is None else mask1).astype(jnp.float32)
+    mk0 = jnp.broadcast_to(mk0[None, :, None], (h, n, 1))
+    mk1 = jnp.broadcast_to(mk1[None, None, :], (h, 1, m))
+    if not ok:
+        return _bidir_xla(a0, a1, v0, v1, mk0, mk1)
+    return _bidir_pallas(a0, a1, v0, v1, mk0, mk1)

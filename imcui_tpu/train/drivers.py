@@ -166,9 +166,9 @@ def eval_recall(lg_params, sp_params, images, key, max_keypoints, px=3.0):
                      keypoint_threshold=0.0, precision="fp32")
     size_wh = jnp.asarray([w, h], jnp.float32)
 
-    def one(k0, k1, d0, d1, m0, m1, Hm):
+    def one(params, k0, k1, d0, d1, m0, m1, Hm):
         scores, _, _ = step.forward_train(
-            lg_params, k0, k1, d0, d1, m0, m1, size_wh, size_wh,
+            params, k0, k1, d0, d1, m0, m1, size_wh, size_wh,
             remat=False)
         matches, _ = lg.filter_matches(scores[-1], 0.1, m0, m1)
         gt0, pos0, _, _ = losses.gt_correspondences(
@@ -176,7 +176,10 @@ def eval_recall(lg_params, sp_params, images, key, max_keypoints, px=3.0):
         hit = (matches == gt0) & pos0
         return hit.sum(), pos0.sum()
 
-    hits, total = jax.vmap(one)(
+    # jit: un-jitted vmap dispatches op-by-op (minutes through the axon
+    # tunnel); one compiled program makes the periodic eval ~free
+    hits, total = jax.jit(jax.vmap(one, in_axes=(None,) + (0,) * 7))(
+        lg_params,
         feats["keypoints"][:b], feats["keypoints"][b:],
         feats["descriptors"][:b].transpose(0, 2, 1),
         feats["descriptors"][b:].transpose(0, 2, 1),
