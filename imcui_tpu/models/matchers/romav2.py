@@ -11,7 +11,8 @@ warped features — the "recurrent" refinement step) and certainty-balanced
 sampling (certainty-weighted stratified top-k rather than plain top-k),
 matching the published V2 behavioral changes at our backbone scale.
 
-Fidelity scope note (deliberate, documented): the real RoMaV2 internals
+FORMALLY RETIRED as a conversion target (round 5; STATUS.md "RoMaV2
+retirement" records the full search + reasoning): the real RoMaV2 internals
 (Parskatt/RoMaV2, released 2025) are unavailable in this snapshot — the
 third_party/RoMaV2 submodule is EMPTY and the design is not recoverable
 from the paper-level public record accessible offline, unlike RoMa v1
