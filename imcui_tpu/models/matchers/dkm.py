@@ -258,7 +258,9 @@ class DKMv3(BaseModel):
 
     def _init(self, conf, rng):
         self.params, self.meta = load_params(conf)
-        self.params = apply_precision(self.params, conf.get("precision"))
+        self.params = apply_precision(
+            self.params, conf.get("precision"),
+            conv_min_ch=conf.get("int8_conv_min_ch"))
 
     def _forward(self, data):
         image0 = jnp.asarray(data["image0"], jnp.float32)

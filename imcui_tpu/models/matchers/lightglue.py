@@ -131,6 +131,18 @@ def load_params(conf):
             "pretrained": True, "source": str(npz)}
     path = download_checkpoint(conf.get("model_name", "superpoint_lightglue.pth"))
     if path is None:
+        # offline fallback: the locally trained matcher (homography
+        # pre-training on SuperPoint features — weights/README.md).
+        # Only the superpoint feature mode at the trained depth matches
+        # the tree shape; other modes keep the pre-r5 random init.
+        from ...utils.weights import load_tree_npz, local_trained_npz
+
+        local = (local_trained_npz("lightglue_selftrained.npz")
+                 if conf.get("features") == "superpoint"
+                 and conf["n_layers"] == 9 else None)
+        if local is not None:
+            return load_tree_npz(local, init, "lightglue"), {
+                "pretrained": True, "source": f"local:{local}"}
         return init, {"pretrained": False}
     sd = load_state_dict(path)
     n_layers = conf["n_layers"]

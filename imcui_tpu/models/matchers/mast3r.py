@@ -137,7 +137,9 @@ class Mast3r(Duster):
 
     def _init(self, conf, rng):
         self.params, self.meta = load_params(conf)
-        self.params = apply_precision(self.params, conf.get("precision"))
+        self.params = apply_precision(
+            self.params, conf.get("precision"),
+            conv_min_ch=conf.get("int8_conv_min_ch"))
         self._conf_key = tuple(sorted(
             {k: conf[k] for k in
              ("enc_dim", "enc_depth", "enc_heads", "dec_dim", "dec_depth",

@@ -670,7 +670,9 @@ class Roma(BaseModel):
 
     def _init(self, conf, rng):
         self.params, self.meta = load_params(conf)
-        self.params = apply_precision(self.params, conf.get("precision"))
+        self.params = apply_precision(
+            self.params, conf.get("precision"),
+            conv_min_ch=conf.get("int8_conv_min_ch"))
         self._conf_key = tuple(sorted({
             "dinov2_variant": conf.get("dinov2_variant", "vitl14"),
             "sample_recall_target": conf.get("sample_recall_target", 0.95),

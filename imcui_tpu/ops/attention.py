@@ -14,11 +14,21 @@ imcui/hloc/matchers/lightglue.py:14-75 and matchers/superglue.py:13-43.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9
+
+# IMCUI_ATTN_XLA=1 forces the differentiable XLA restatements everywhere
+# (no pallas_call in the traced program). Escape hatch for TRAINING-step
+# compiles on XLA:TPU: vmapped pallas_call + custom-VJP under jax.checkpoint
+# multiplies program size and has produced pathological (>35 min, tunnel-
+# wedging) compiles; the XLA path compiles in normal time and is the exact
+# math the custom VJPs already differentiate through. Serving is unaffected
+# unless the env var is set.
+FORCE_XLA = os.environ.get("IMCUI_ATTN_XLA", "0") == "1"
 
 
 def make_additive_mask(mask_q, mask_k):
@@ -122,7 +132,7 @@ def flash_attention(q, k, v, mask_k, blk_q=256, blk_k=256):
     Memory: O(blk_q · Nk) per program instead of O(Nq · Nk) — the win at
     4k–16k keypoints where full logits would thrash HBM.
     """
-    if jax.default_backend() != "tpu":
+    if FORCE_XLA or jax.default_backend() != "tpu":
         return mha(q, k, v, mask_k=mask_k)
 
     h, nq, dh = q.shape
@@ -293,8 +303,8 @@ def fused_attention_small(q, k, v, mask_k=None):
     the XLA restatement)."""
     h, nq, dh = q.shape
     nk = k.shape[1]
-    if (pl is None or jax.default_backend() != "tpu" or nk > 2048
-            or nq % 128 or nk % 128 or dh % 64):
+    if (pl is None or FORCE_XLA or jax.default_backend() != "tpu"
+            or nk > 2048 or nq % 128 or nk % 128 or dh % 64):
         return mha(q, k, v, mask_k=mask_k)
     if mask_k is None:
         maskf = jnp.ones((h, 1, nk), jnp.float32)
@@ -424,7 +434,8 @@ def bidirectional_attention(a0, a1, v0, v1, mask0=None, mask1=None):
     (custom VJP recomputes through the XLA restatement)."""
     h, n, dh = a0.shape
     m = a1.shape[1]
-    ok = (pl is not None and jax.default_backend() == "tpu"
+    ok = (pl is not None and not FORCE_XLA
+          and jax.default_backend() == "tpu"
           and max(n, m) <= 2048 and n % 128 == 0 and m % 128 == 0
           and dh % 64 == 0)
     mk0 = (jnp.ones((n,)) if mask0 is None else mask0).astype(jnp.float32)

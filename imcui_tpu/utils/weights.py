@@ -63,6 +63,25 @@ def download_checkpoint(filename, repo_id=MODEL_REPO_ID):
         return None
 
 
+def local_trained_npz(name):
+    """Path of a locally trained checkpoint (a committed ``imcui-tpu
+    train`` output under the repo's ``weights/`` dir), or None.
+
+    Serving models use these as the fallback when upstream checkpoints
+    are unreachable — the offline analog of the reference's on-demand
+    download contract (/root/reference/imcui/hloc/utils/base_model.py:
+    37-43: every zoo entry serves real weights). Override the directory
+    with ``IMCUI_WEIGHTS_DIR``; set it to an empty/missing dir to force
+    random init (the pre-r5 offline behavior)."""
+    import os
+
+    d = os.environ.get("IMCUI_WEIGHTS_DIR")
+    base = (Path(d) if d
+            else Path(__file__).resolve().parents[2] / "weights")
+    p = base / name
+    return p if p.exists() else None
+
+
 def load_state_dict(path):
     """Load a torch checkpoint into a flat {name: np.ndarray} dict."""
     import torch

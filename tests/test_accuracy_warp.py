@@ -24,6 +24,21 @@ IMG = "/root/reference/tests/data/02928139_3448003521.jpg"
 # genuine held-out evals that ASSERT offline today.
 WEIGHTS = pathlib.Path(__file__).resolve().parents[1] / "weights"
 SP_TRAINED = WEIGHTS / "superpoint_adapted.npz"
+LG_TRAINED = WEIGHTS / "lightglue_selftrained.npz"
+
+
+def _trained_flagship_conf():
+    """Adapted SuperPoint + locally trained LightGlue — the fully
+    learned flagship pipeline (VERDICT r4 #1)."""
+    conf = _sparse_conf("superpoint", "lightglue",
+                        keypoint_threshold=5e-4,
+                        checkpoint_npz=str(SP_TRAINED))
+    conf["matcher"]["output"] = "matches-lightglue"
+    conf["matcher"]["model"] = {
+        "name": "lightglue", "features": "superpoint",
+        "match_threshold": 0.1, "checkpoint_npz": str(LG_TRAINED),
+    }
+    return conf
 
 
 def _sparse_conf(feature_name, matcher_name="nearest_neighbor", **feat):
@@ -57,6 +72,11 @@ CASES = [
     ("superpoint_trained+mnn", lambda: _sparse_conf(
         "superpoint", keypoint_threshold=5e-4,
         checkpoint_npz=str(SP_TRAINED)), False, 0.85, 3.0),
+    # the fully learned flagship: trained detector + trained matcher
+    # (LightGlue homography pre-training on the same held-out-safe
+    # corpus; VERDICT r4 #1 "Done =" bar)
+    ("superpoint_trained+lightglue_trained", _trained_flagship_conf,
+     False, 0.85, 3.0),
     # enrolled learned pipelines: the bar arms the moment a conversion
     # reports pretrained weights (VERDICT r2 #8)
     ("dog+sosnet+mnn",
@@ -93,6 +113,8 @@ def test_warp_accuracy(name, conf_fn, needs_pretrained, min_recall,
                        max_err, photo):
     if "_trained" in name and not SP_TRAINED.exists():
         pytest.skip("locally trained checkpoint not present")
+    if "lightglue_trained" in name and not LG_TRAINED.exists():
+        pytest.skip("locally trained lightglue checkpoint not present")
     api = ImageMatchingAPI(conf=conf_fn())
     if needs_pretrained:
         metas = [m for m in (getattr(api.extractor, "meta", None),

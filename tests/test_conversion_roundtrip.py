@@ -213,6 +213,9 @@ def test_dog_hardnet_conversion(tmp_path, monkeypatch):
     "suffix,conf,builder", CASES, ids=[c[0] for c in CASES])
 def test_conversion_roundtrip(suffix, conf, builder, tmp_path, monkeypatch):
     mod = importlib.import_module(f"imcui_tpu.models.{suffix}")
+    # the offline pass below must see RANDOM init, not the committed
+    # locally-trained fallbacks (utils.weights.local_trained_npz)
+    monkeypatch.setenv("IMCUI_WEIGHTS_DIR", str(tmp_path / "no_weights"))
 
     def patch_download(fn):
         monkeypatch.setattr(W, "download_checkpoint", fn)

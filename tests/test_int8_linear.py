@@ -124,3 +124,42 @@ def test_int8_weight_roundtrip_extremes():
     # exact bound: half a quantisation step per column
     bound = np.asarray(q["w_s"]) / 2 + 1e-9
     assert (np.abs(np.asarray(back - w)) <= bound[None, :]).all()
+
+
+def test_int8_conv_close_to_f32():
+    """W8A8 conv dispatch (layers.quantize_conv_int8 / conv2d): routed
+    through the int8 path, caller dtype preserved, error within the
+    int8 quantisation bound; strided + dilated variants agree with the
+    f32 conv's torch-SAME geometry."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    p = L.init_conv(k1, 3, 3, 64, 128)
+    x = jax.random.normal(k2, (2, 16, 20, 64))
+    q = L.quantize_conv_int8(p)
+    assert q["w_q"].dtype == jnp.int8 and q["w_s"].shape == (128,)
+    for kw in ({}, {"stride": 2}, {"dilation": 2}):
+        ref = L.conv2d(p, x, **kw)
+        got = L.conv2d(q, x, **kw)
+        assert got.shape == ref.shape and got.dtype == x.dtype
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.03, (kw, rel)
+    # bf16 activations keep the caller dtype
+    got = L.conv2d(q, x.astype(jnp.bfloat16))
+    assert got.dtype == jnp.bfloat16
+
+
+def test_apply_precision_conv_min_ch():
+    """conv_min_ch opts convs into int8: wide convs quantised, narrow
+    convs and depthwise (cin==1 per group) stay bf16; default (None)
+    leaves every conv bf16 (the pre-r5 contract)."""
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    tree = {
+        "wide": L.init_conv(ks[0], 3, 3, 128, 256),
+        "narrow": L.init_conv(ks[1], 3, 3, 8, 24),
+        "depthwise": {"w": jax.random.normal(ks[2], (5, 5, 1, 256))},
+    }
+    q = L.apply_precision(tree, "int8", conv_min_ch=64)
+    assert q["wide"]["w_q"].dtype == jnp.int8
+    assert "w_q" not in q["narrow"]
+    assert "w_q" not in q["depthwise"]
+    q0 = L.apply_precision(tree, "int8")
+    assert all("w_q" not in q0[k] for k in tree)
