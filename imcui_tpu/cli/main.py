@@ -229,10 +229,15 @@ def eval_group():
 @click.option("--matcher", default="superpoint+lightglue")
 @click.option("--max-pairs", default=None, type=int)
 @click.option("--ransac-threshold-px", default=0.75, type=float)
+@click.option("--subpixel", is_flag=True, default=False,
+              help="Soft-argmax peak refinement on the sparse "
+                   "extractor (r5 measured: halves flagship pose "
+                   "error — BASELINE.md Pose AUC).")
 @click.option("--out", default="runs/pose_eval", type=click.Path())
 @click.option("--seed", default=0, type=int)
 def eval_pose(pairs_json, corpus, n_images, n_poses, height, width,
-              matcher, max_pairs, ransac_threshold_px, out, seed):
+              matcher, max_pairs, ransac_threshold_px, subpixel, out,
+              seed):
     """Relative-pose AUC@5/10/20 through the full on-device chain
     (match -> fundamental RANSAC -> essential -> pose recovery)."""
     import json as _json
@@ -257,7 +262,8 @@ def eval_pose(pairs_json, corpus, n_images, n_poses, height, width,
         source = f"synthpose({len(photos)} photos x {n_poses} poses)"
     result = megadepth.evaluate_matcher(
         pairs, matcher, max_pairs=max_pairs,
-        ransac_threshold_px=ransac_threshold_px)
+        ransac_threshold_px=ransac_threshold_px,
+        feature_opts={"subpixel": True} if subpixel else None)
     summary = {k: (round(v, 4) if isinstance(v, float) else v)
                for k, v in result.items() if k != "errors"}
     click.echo(f"pose eval [{matcher}] on {source}: "

@@ -119,17 +119,29 @@ def api_matcher_fn(api):
 
 
 def evaluate_matcher(pairs, matcher="superpoint+lightglue",
-                     max_pairs=None, ransac_threshold_px=0.75):
+                     max_pairs=None, ransac_threshold_px=0.75,
+                     feature_opts=None, matcher_opts=None):
     """Evaluate a named zoo matcher on a pair list (real MegaDepth or
-    eval/synthpose synthetic-pose pairs — same schema)."""
+    eval/synthpose synthetic-pose pairs — same schema).
+
+    ``feature_opts`` / ``matcher_opts``: shallow model-conf overrides
+    (e.g. ``{"subpixel": True}`` to enable SuperPoint's soft-argmax
+    peak refinement — r5: quantised peak localisation dominated
+    relative-pose error, BASELINE.md "Pose AUC")."""
+    import copy
+
     from ..api.core import ImageMatchingAPI
     from ..ui.utils import get_matcher_zoo, load_config
     from ..cli.main import get_default_config_path
 
     cfg = load_config(get_default_config_path())
     zoo = get_matcher_zoo(cfg["matcher_zoo"])
-    conf = dict(zoo[matcher])
+    conf = copy.deepcopy(zoo[matcher])
     conf["ransac"] = {"enable": False}
+    if feature_opts and "feature" in conf:
+        conf["feature"]["model"].update(feature_opts)
+    if matcher_opts and "matcher" in conf:
+        conf["matcher"]["model"].update(matcher_opts)
     api = ImageMatchingAPI(conf=conf)
     return evaluate_pairs(api_matcher_fn(api), pairs,
                           ransac_threshold_px=ransac_threshold_px,

@@ -91,10 +91,12 @@ def synth_pairs(tmp_path_factory):
         [GATE_IMG], out, n_pose_per_image=3, size=(480, 640), seed=0)
 
 
-def _eval(pairs, matcher):
+def _eval(pairs, matcher, **kw):
     from imcui_tpu.eval.megadepth import evaluate_matcher
 
-    return evaluate_matcher(pairs, matcher, ransac_threshold_px=0.75)
+    return evaluate_matcher(pairs, matcher,
+                            ransac_threshold_px=kw.pop(
+                                "ransac_threshold_px", 0.75), **kw)
 
 
 def test_pose_auc_sift(synth_pairs):
@@ -111,9 +113,20 @@ def test_pose_auc_trained_flagship(synth_pairs):
     """The fully learned flagship (locally trained SuperPoint teacher +
     locally trained LightGlue) through the same chain. The gate photo
     is excluded from both training corpora (weights/README.md), so this
-    is a genuine held-out pose eval."""
+    is a genuine held-out pose eval.
+
+    Operating point (measured r5, BASELINE.md "Pose AUC"): subpixel
+    soft-argmax peaks — the cell-grid decode's integer quantisation
+    dominated pose error (12.9° median → 4.8°) — and a 1.5 px RANSAC
+    threshold matched to the trained detector's localisation noise
+    (SIFT's subpixel DoG peaks support 0.75 px; measured AUC@5/10/20 =
+    0.471/0.728/0.864 at this point)."""
     if not (SP_TRAINED.exists() and LG_TRAINED.exists()):
         pytest.skip("locally trained checkpoints not present")
-    res = _eval(synth_pairs, "superpoint+lightglue")
+    res = _eval(synth_pairs, "superpoint+lightglue",
+                ransac_threshold_px=1.5,
+                feature_opts={"subpixel": True,
+                              "keypoint_threshold": 5e-4},
+                matcher_opts={"match_threshold": 0.1})
     assert res["auc@20"] >= 0.5, res
     assert res["median_err_deg"] <= 10.0, res
