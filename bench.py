@@ -36,6 +36,12 @@ from imcui_tpu.utils.benchmark import chain_bench
 
 A100_REFERENCE_PAIRS_PER_SEC = 50.0
 
+# XLA cost analysis of THIS step (B=4 amortised), measured by compiling
+# the identical program on the CPU backend (FLOPs are backend-independent
+# HLO properties) — tools/mfu_scoreboard.py; v5e bf16 peak 197 TF/s.
+FLAGSHIP_GFLOPS_PER_PAIR = 657.7
+PEAK_BF16_TFS = 197.0
+
 BATCH = 4
 H = W = 1024
 MAX_KPTS = 1024
@@ -85,6 +91,7 @@ def main():
     dt, _ = chain_bench(step, params, iters=ITERS, warmup=WARMUP)
 
     pairs_per_sec = BATCH * ITERS / dt
+    achieved_tfs = FLAGSHIP_GFLOPS_PER_PAIR * pairs_per_sec / 1e3
     print(
         json.dumps(
             {
@@ -94,6 +101,10 @@ def main():
                 "vs_baseline": round(
                     pairs_per_sec / A100_REFERENCE_PAIRS_PER_SEC, 3
                 ),
+                # hardware-anchored utilization (BASELINE.md MFU
+                # scoreboard) — vs_baseline stays an A100 estimate
+                "achieved_tfs": round(achieved_tfs, 1),
+                "mfu": round(achieved_tfs / PEAK_BF16_TFS, 3),
             }
         )
     )
