@@ -386,7 +386,11 @@ def fine_match(params, win0, win1, valid):
                 p1 = encoder_layer(layer, p1, p0, nhead=8)
                 p0 = p0n
         center0 = p0[ww // 2]
-        sim = (p1 @ center0) / (p1.shape[-1] ** 0.5)
+        # softmax / expectation statistics stay f32 (precision
+        # contract); cast AFTER the matvec — an einsum with
+        # preferred_element_type here compiled pathologically on
+        # XLA:TPU under the window×pair double vmap (r5, wedged >20 min)
+        sim = (p1 @ center0).astype(jnp.float32) / (p1.shape[-1] ** 0.5)
         heat = jax.nn.softmax(sim / 0.1)
         grid = jnp.stack(
             [jnp.tile(jnp.arange(w, dtype=jnp.float32), w),
@@ -407,11 +411,16 @@ def forward_pair(params, image0, image1, mask_wh0, mask_wh1, conf):
     threshold = conf.get("match_threshold", 0.2)
     max_matches = conf.get("max_matches", 1024)
 
+    # the param tree's dtype is the precision policy (r5: the f32 path
+    # measured 0.08 MFU — BASELINE.md scoreboard; bf16 trunk/transformer
+    # with f32 softmax statistics is the same contract as superpoint's
+    # precision="bf16")
+    dt = params["backbone"]["conv1"]["w"].dtype
     featc, featf = backbone_apply(params["backbone"], jnp.stack(
-        [image0, image1], 0))
+        [image0, image1], 0).astype(dt))
     hc, wc = featc.shape[1:3]
 
-    pe = position_encoding(hc, wc)
+    pe = position_encoding(hc, wc).astype(featc.dtype)
     fc0 = (featc[0] + pe).reshape(-1, D_COARSE)
     fc1 = (featc[1] + pe).reshape(-1, D_COARSE)
 
@@ -487,11 +496,19 @@ class LoFTR(BaseModel):
         "match_threshold": 0.2,
         "max_keypoints": 1024,
         "temperature": 0.1,
+        # serving precision: bf16 trunk/transformer, f32 softmax and
+        # expectation statistics (r5 measured: the all-f32 path ran at
+        # 0.08 MFU — BASELINE.md). "fp32" for golden/parity runs.
+        "precision": "bf16",
     }
     required_inputs = ["image0", "image1"]
 
     def _init(self, conf, rng):
+        from ..layers import apply_precision
+
         self.params, self.meta = load_params(conf)
+        if conf.get("precision", "bf16") in ("bf16", "bfloat16"):
+            self.params = apply_precision(self.params, "bf16")
         mm = conf.get("max_keypoints") or 1024
         self._conf_key = tuple(sorted({
             "match_threshold": float(conf["match_threshold"]),

@@ -74,7 +74,8 @@ def _loftr_outputs():
     from imcui_tpu.models.matchers.loftr import LoFTR
 
     rng = np.random.RandomState(45)
-    model = LoFTR({"max_keypoints": 32, "match_threshold": 0.0})
+    model = LoFTR({"max_keypoints": 32, "match_threshold": 0.0,
+                   "precision": "fp32"})
     out = model({
         "image0": rng.rand(1, 1, 64, 64).astype(np.float32),
         "image1": rng.rand(1, 1, 64, 64).astype(np.float32),
@@ -91,7 +92,10 @@ CASES = {
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
-def test_golden(name):
+def test_golden(name, monkeypatch, tmp_path):
+    # goldens pin DETERMINISTIC RANDOM-INIT numerics; keep the locally
+    # trained fallback trees (utils.weights.local_trained_npz) out
+    monkeypatch.setenv("IMCUI_WEIGHTS_DIR", str(tmp_path / "no_weights"))
     path = GOLDEN_DIR / f"{name}.npz"
     out = CASES[name]()
     if not path.exists():
@@ -112,6 +116,9 @@ if __name__ == "__main__":
     import sys
 
     if "--regen" in sys.argv:
+        import os
+
+        os.environ["IMCUI_WEIGHTS_DIR"] = "/nonexistent"  # random init
         GOLDEN_DIR.mkdir(exist_ok=True)
         for name, fn in CASES.items():
             np.savez_compressed(GOLDEN_DIR / f"{name}.npz", **fn())
