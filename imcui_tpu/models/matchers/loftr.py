@@ -327,13 +327,22 @@ def coarse_match(featc0, featc1, mask0, mask1, temperature=0.1,
                      preferred_element_type=jnp.float32) / temperature
     neg = -1e9
     sim = jnp.where(mask0[:, None] & mask1[None, :], sim, neg)
-    conf = jax.nn.softmax(sim, 1) * jax.nn.softmax(sim, 0)
-    # mutual max
-    idx1_of_0 = jnp.argmax(conf, 1)
-    idx0_of_1 = jnp.argmax(conf, 0)
-    mutual = (jnp.arange(conf.shape[0])
+    # dual-softmax via log-sum-exp, never materialising either softmax:
+    #   conf[l,s] = softmax_row(sim)·softmax_col(sim)
+    #            = exp(2·sim[l,s] − lse_r[l] − lse_c[s]).
+    # The naive product costs ~8 full traversals of the L×S matrix
+    # (two softmaxes write+read, the product write, two argmax reads);
+    # this form reads sim ~4× and is EXACT up to fp reassociation
+    # (r5: LoFTR's coarse grid is 4800×4800 at 640×480 — the dual
+    # softmax was ~30% of the pair time, tools/profile_loftr_stages.py).
+    lse_r = jax.nn.logsumexp(sim, 1)  # (L,)
+    lse_c = jax.nn.logsumexp(sim, 0)  # (S,)
+    g_row = 2.0 * sim - lse_c[None, :]
+    idx1_of_0 = jnp.argmax(g_row, 1)
+    idx0_of_1 = jnp.argmax(2.0 * sim - lse_r[:, None], 0)
+    mutual = (jnp.arange(sim.shape[0])
               == jnp.take(idx0_of_1, idx1_of_0))
-    score = jnp.max(conf, 1)
+    score = jnp.exp(jnp.max(g_row, 1) - lse_r)
     ok = mutual & (score > threshold) & mask0
     score = jnp.where(ok, score, 0.0)
     # a small image can have fewer coarse cells than the requested match

@@ -91,3 +91,44 @@ def test_loftr_conversion_roundtrip():
                               sorted(flat_conv, key=lambda t: jax.tree_util.keystr(t[0]))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
                                    err_msg=jax.tree_util.keystr(p))
+
+
+def test_coarse_match_lse_form_exact():
+    """The r5 log-sum-exp dual-softmax (coarse_match) must reproduce the
+    naive softmax-product form exactly: same mutual match set, same
+    confidence values (fp-reassociation tolerance), incl. masked rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from imcui_tpu.models.matchers import loftr as m
+
+    rng = jax.random.PRNGKey(7)
+    k0, k1 = jax.random.split(rng)
+    L, S, d = 96, 80, 32
+    f0 = jax.random.normal(k0, (L, d))
+    f1 = jax.random.normal(k1, (S, d))
+    mask0 = jnp.arange(L) < 90
+    mask1 = jnp.arange(S) < 72
+
+    idx0, idx1, score, valid = m.coarse_match(
+        f0, f1, mask0, mask1, temperature=0.1, threshold=0.01,
+        max_matches=64)
+
+    # naive restatement (the pre-r5 form)
+    sim = ((f0 / d**0.5) @ (f1 / d**0.5).T) / 0.1
+    sim = jnp.where(mask0[:, None] & mask1[None, :], sim, -1e9)
+    conf = jax.nn.softmax(sim, 1) * jax.nn.softmax(sim, 0)
+    i1_of_0 = jnp.argmax(conf, 1)
+    i0_of_1 = jnp.argmax(conf, 0)
+    mutual = jnp.arange(L) == jnp.take(i0_of_1, i1_of_0)
+    ref_score = jnp.where(
+        mutual & (jnp.max(conf, 1) > 0.01) & mask0, jnp.max(conf, 1), 0.0)
+
+    got = {int(a): (int(b), float(s))
+           for a, b, s, v in zip(idx0, idx1, score, valid) if v}
+    want = {int(l): (int(i1_of_0[l]), float(ref_score[l]))
+            for l in range(L) if ref_score[l] > 0}
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for l, (b, s) in got.items():
+        assert want[l][0] == b
+        np.testing.assert_allclose(s, want[l][1], rtol=1e-5)

@@ -41,7 +41,7 @@ HBM_TBS = 0.8           # ~1 TB/s nominal; 0.8 sustained (profile_hbm.py)
 # + BENCH_r04.json flagship). Re-run those benches to refresh.
 MEASURED_MS_PER_PAIR = {
     "flagship_bf16": 34.1 / 4,          # 117.23 pairs/s at B=4
-    "loftr_bf16": 11.06,                # r5 A/B row (f32: 11.3)
+    "loftr_bf16": 4.29,                 # r5 LSE dual-softmax row (f32 naive: 11.3)
     "roma_bf16": 76.26,
     "roma_int8": 73.44,
     "dkm_bf16": 61.61,
