@@ -77,6 +77,28 @@ def bench_loftr(prec=None):
            + (f"({prec})" if prec else ""))
 
 
+def bench_eloftr(prec=None):
+    from imcui_tpu.models.matchers import eloftr
+
+    B, H, W = 2, 480, 640
+    params = eloftr.init_params(jax.random.PRNGKey(0))
+    params = _apply_prec(params, prec)
+    conf_key = (("match_threshold", 0.2), ("max_matches", 1024),
+                ("temperature", 0.1))
+    wh = jnp.tile(jnp.asarray([[W, H]], jnp.int32), (B, 1))
+
+    def step(params, key, acc):
+        k0, k1 = jax.random.split(key)
+        dt = jnp.bfloat16 if prec else jnp.float32
+        i0 = jax.random.uniform(k0, (B, H, W, 1), dt)
+        i1 = jax.random.uniform(k1, (B, H, W, 1), dt)
+        out = eloftr._apply_batched(params, i0, i1, wh, wh, conf_key)
+        return acc + out["scores"].astype(jnp.float32).sum()
+
+    _bench(step, params, 40, 3, B, f"pairs/s/chip ELoFTR@640x480"
+           + (f"({prec})" if prec else ""))
+
+
 def bench_roma(prec=None, batch=1):
     from imcui_tpu.models.matchers import roma
 
@@ -200,6 +222,8 @@ if __name__ == "__main__":
             batch = int(a.split("=")[1])
     if which in ("loftr", "all"):
         bench_loftr(prec)
+    if which in ("eloftr", "all"):
+        bench_eloftr(prec)
     if which in ("roma", "all"):
         bench_roma(prec, batch)
     if which in ("duster", "all"):
