@@ -140,9 +140,19 @@ def train():
               type=click.Path(exists=True),
               help="Locally trained SuperPoint teacher (e.g. the "
                    "'train superpoint-adapted' output).")
+@click.option("--init-npz", default=None, type=click.Path(exists=True),
+              help="Warm-start the matcher from an earlier checkpoint "
+                   "(fine-tuning).")
+@click.option("--warp-family", default="similarity",
+              type=click.Choice(["similarity", "pose", "mixed"]),
+              help="Supervision warps: published similarity family, "
+                   "calibrated plane-induced ('pose'), or per-sample "
+                   "mix.")
+@click.option("--pose-frac", default=0.5, type=float)
 def train_lightglue_cmd(steps, batch, size, max_keypoints, n_layers, lr,
                         model_parallel, image_dir, eval_every, out, seed,
-                        sp_checkpoint_npz):
+                        sp_checkpoint_npz, init_npz, warp_family,
+                        pose_frac):
     """LightGlue homography pre-training (frozen SuperPoint teacher)."""
     from ..train.drivers import train_lightglue
 
@@ -151,7 +161,34 @@ def train_lightglue_cmd(steps, batch, size, max_keypoints, n_layers, lr,
                     model_parallel=model_parallel, image_dir=image_dir,
                     eval_every=eval_every, out=out, seed=seed,
                     sp_checkpoint_npz=sp_checkpoint_npz,
-                    log_fn=click.echo)
+                    init_npz=init_npz, warp_family=warp_family,
+                    pose_frac=pose_frac, log_fn=click.echo)
+
+
+@train.command("loftr")
+@click.option("--steps", default=4000, type=int)
+@click.option("--batch", default=4, type=int)
+@click.option("--size", default=320, type=int)
+@click.option("--lr", default=3e-4, type=float)
+@click.option("--n-fine", default=128, type=int,
+              help="Positive cells given fine supervision per pair.")
+@click.option("--w-fine", default=0.25, type=float)
+@click.option("--image-dir", default=None, type=click.Path(exists=True),
+              help="Real-image corpus; omitted = on-device synthetic.")
+@click.option("--exclude", multiple=True,
+              help="Path substrings to hold out of the corpus.")
+@click.option("--eval-every", default=400, type=int)
+@click.option("--out", default="runs/loftr_homog", type=click.Path())
+@click.option("--seed", default=0, type=int)
+def train_loftr_cmd(steps, batch, size, lr, n_fine, w_fine, image_dir,
+                    exclude, eval_every, out, seed):
+    """LoFTR homography training (dense coarse NLL + fine l2)."""
+    from ..train.drivers import train_loftr
+
+    train_loftr(steps=steps, batch=batch, size=size, lr=lr,
+                n_fine=n_fine, w_fine=w_fine, image_dir=image_dir,
+                exclude=tuple(exclude), eval_every=eval_every, out=out,
+                seed=seed, log_fn=click.echo)
 
 
 @train.command("superpoint")
@@ -205,6 +242,36 @@ def train_superpoint_adapted_cmd(corpus, exclude, height, width,
         real_steps=real_steps, n_homog=n_homog, n_max=n_max,
         threshold=threshold, batch=batch, synth_mix=synth_mix, lr=lr,
         out=out, seed=seed, log_fn=click.echo)
+
+
+@train.command("superpoint-finetune")
+@click.option("--corpus", required=True, type=click.Path(exists=True))
+@click.option("--init-npz", required=True, type=click.Path(exists=True),
+              help="Trained checkpoint to warm-start from (e.g. "
+                   "weights/superpoint_adapted.npz).")
+@click.option("--exclude", multiple=True)
+@click.option("--height", default=240, type=int)
+@click.option("--width", default=320, type=int)
+@click.option("--steps", default=1500, type=int)
+@click.option("--batch", default=8, type=int)
+@click.option("--lr", default=5e-5, type=float)
+@click.option("--warp-family", default="mixed",
+              type=click.Choice(["similarity", "pose", "mixed"]))
+@click.option("--pose-frac", default=0.5, type=float)
+@click.option("--out", default="runs/sp_finetune", type=click.Path())
+@click.option("--seed", default=0, type=int)
+def train_superpoint_finetune_cmd(corpus, init_npz, exclude, height,
+                                  width, steps, batch, lr, warp_family,
+                                  pose_frac, out, seed):
+    """Fine-tune a trained SuperPoint on a wider warp family
+    (viewpoint-invariance push for the pose eval)."""
+    from ..train.drivers import finetune_superpoint
+
+    finetune_superpoint(corpus, init_npz, exclude=tuple(exclude),
+                        size=(height, width), steps=steps, batch=batch,
+                        lr=lr, warp_family=warp_family,
+                        pose_frac=pose_frac, out=out, seed=seed,
+                        log_fn=click.echo)
 
 
 @cli.group("eval")

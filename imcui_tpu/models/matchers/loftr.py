@@ -259,12 +259,27 @@ def init_params(rng, n_coarse_layers=4, n_fine_layers=2):
 
 def load_params(conf):
     init = init_params(jax.random.PRNGKey(0))
+    npz = conf.get("checkpoint_npz")
+    if npz:
+        # locally trained tree (`imcui-tpu train loftr` output) — the
+        # training subsystem's trees are the serving trees
+        from ...utils.weights import load_tree_npz
+        return load_tree_npz(npz, init, "loftr"), {
+            "pretrained": True, "source": str(npz)}
     name = {
         "outdoor": "loftr_outdoor.ckpt",
         "indoor": "loftr_indoor.ckpt",
     }.get(conf.get("weights", "outdoor"), conf.get("weights"))
     path = download_checkpoint(name)
     if path is None:
+        # offline fallback: the locally trained dense matcher
+        # (homography training — weights/README.md)
+        from ...utils.weights import load_tree_npz, local_trained_npz
+
+        local = local_trained_npz("loftr_selftrained.npz")
+        if local is not None:
+            return load_tree_npz(local, init, "loftr"), {
+                "pretrained": True, "source": f"local:{local}"}
         return init, {"pretrained": False}
     sd = load_state_dict(path)
     sd = {k.replace("matcher.", ""): v for k, v in sd.items()}

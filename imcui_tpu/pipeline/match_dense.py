@@ -92,6 +92,19 @@ def match_images(model, image_0, image_1, conf, device=None):
         resize_max=pconf.resize_max, force_resize=pconf.force_resize,
         width=pconf.width, height=pconf.height, dfactor=pconf.dfactor,
     )
+    # different aspect ratios can land the two views in different shape
+    # buckets; dense models run both towers in one program (stacked /
+    # vmapped), so zero-pad to the union canvas — validity masks carry
+    # the true sizes (caught by the /verify real-pair drive, r5)
+    if d0["image"].shape != d1["image"].shape:
+        hb = max(d0["image"].shape[2], d1["image"].shape[2])
+        wb = max(d0["image"].shape[3], d1["image"].shape[3])
+        for d in (d0, d1):
+            _, c, hh, ww = d["image"].shape
+            if (hh, ww) != (hb, wb):
+                canvas = np.zeros((1, c, hb, wb), np.float32)
+                canvas[:, :, :hh, :ww] = d["image"]
+                d["image"] = canvas
     pred = model({
         "image0": d0["image"], "image1": d1["image"],
         "size0": d0["size"][None], "size1": d1["size"][None],

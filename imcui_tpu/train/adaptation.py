@@ -122,7 +122,7 @@ def train_step_superpoint_real(params, opt_state, key, images, corners,
     from . import superpoint as spt
 
     b, _, h, w = images.shape
-    Hs = homography.sample_homographies(
+    Hs = homography.sample_warps(
         key, b, w, h, **(homography_kwargs or {}))
 
     def loss_fn(p):

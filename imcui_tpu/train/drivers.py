@@ -150,6 +150,70 @@ def train_superpoint_adapted(corpus_dir, exclude=(), size=(240, 320),
     return params
 
 
+def finetune_superpoint(corpus_dir, init_npz, exclude=(), size=(240, 320),
+                        steps=1500, n_homog=48, n_max=400, nms_radius=4,
+                        threshold=0.01, batch=8, lr=5e-5,
+                        lambda_desc=1.0, warp_family="mixed",
+                        pose_frac=0.5, out="runs/sp_finetune", seed=0,
+                        log_fn=print):
+    """Descriptor-focused fine-tune of a trained SuperPoint on a chosen
+    warp family (VERDICT-r5 pose push: the adapted detector's
+    descriptors were trained only on the similarity family; the
+    'pose'/'mixed' families add the foreshortening a real relative pose
+    induces). Re-labels the corpus once with the CURRENT detector, then
+    runs real-photo steps — one homographic-adaptation round warm-
+    started from ``init_npz``."""
+    from . import adaptation
+    from ..models.extractors import superpoint as spm
+    from ..utils.weights import load_tree_npz
+
+    out = pathlib.Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+    h, w = size
+
+    corpus = jnp.asarray(load_image_corpus(corpus_dir, h, w, exclude))
+    log_fn(f"corpus: {corpus.shape[0]} images at {h}x{w}")
+    params = load_tree_npz(init_npz, spm.init_params(
+        jax.random.PRNGKey(0)), "superpoint")
+
+    import optax
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    hkw = {}
+    if warp_family != "similarity":
+        hkw["family"] = warp_family
+    if warp_family == "mixed":
+        hkw["pose_frac"] = pose_frac
+    real_step = adaptation.make_real_train_step(
+        optimizer, lambda_desc=lambda_desc, homography_kwargs=hkw)
+
+    key = jax.random.PRNGKey(seed + 1)
+    rng = np.random.default_rng(seed + 2)
+    key, kl = jax.random.split(key)
+    corners, cmask = adaptation.label_images(
+        params, corpus, kl, n_homog=n_homog, n_max=n_max,
+        nms_radius=nms_radius, threshold=threshold)
+    log_fn(json.dumps({"stage": "label",
+                       "mean_corners": float(cmask.sum(1).mean())}))
+
+    log = open(out / "log.jsonl", "a")
+    t0 = time.time()
+    for it in range(steps):
+        key, ks = jax.random.split(key)
+        idx = rng.integers(0, corpus.shape[0], size=batch)
+        params, opt_state, m = real_step(
+            params, opt_state, ks, corpus[idx], corners[idx], cmask[idx])
+        if it % 100 == 0 or it == steps - 1:
+            m = {k: round(float(v), 4) for k, v in m.items()}
+            m.update(step=it, sec=round(time.time() - t0, 1))
+            log_fn(json.dumps(m))
+            log.write(json.dumps(m) + "\n")
+            log.flush()
+    save_tree_npz(out / "superpoint_finetuned.npz", params)
+    log_fn(f"saved {out / 'superpoint_finetuned.npz'}")
+    return params
+
+
 def eval_recall(lg_params, sp_params, images, key, max_keypoints, px=3.0):
     """Match recall of the CURRENT matcher on fresh held-out warps:
     fraction of GT correspondences recovered by mutual-argmax decoding."""
@@ -190,11 +254,18 @@ def eval_recall(lg_params, sp_params, images, key, max_keypoints, px=3.0):
 def train_lightglue(steps=1000, batch=8, size=512, max_keypoints=512,
                     n_layers=9, lr=1e-4, warmup=100, model_parallel=1,
                     image_dir=None, eval_every=200, out="runs/lg_homog",
-                    seed=0, sp_checkpoint_npz=None, log_fn=print):
+                    seed=0, sp_checkpoint_npz=None, init_npz=None,
+                    warp_family="similarity", pose_frac=0.5,
+                    log_fn=print):
     """LightGlue homography pre-training (Lindenberger et al. §4):
     frozen SuperPoint, random-homography pairs, deep-supervised
     assignment NLL + token-confidence heads. Returns the final params
-    and writes ``lightglue_final.npz`` + ``log.jsonl`` under ``out``."""
+    and writes ``lightglue_final.npz`` + ``log.jsonl`` under ``out``.
+
+    ``init_npz`` warm-starts from an earlier checkpoint (fine-tuning);
+    ``warp_family`` picks the supervision warps — 'similarity' (the
+    published recipe), 'pose' (calibrated plane-induced homographies,
+    train/homography.sample_pose_homographies), or 'mixed'."""
     import optax
 
     out = pathlib.Path(out)
@@ -207,6 +278,11 @@ def train_lightglue(steps=1000, batch=8, size=512, max_keypoints=512,
         rng=jax.random.PRNGKey(seed), n_layers=n_layers,
         max_keypoints=max_keypoints, lr=lr,
         sp_checkpoint_npz=sp_checkpoint_npz)
+    if init_npz:
+        from ..models.matchers import lightglue as lg_mod
+        lg_params, _ = lg_mod.load_params(
+            {"checkpoint_npz": str(init_npz), "features": "superpoint",
+             "n_layers": n_layers})
 
     n_dev = len(jax.devices())
     mesh = mesh_lib.make_mesh(n_dev, model_parallel=model_parallel)
@@ -215,9 +291,14 @@ def train_lightglue(steps=1000, batch=8, size=512, max_keypoints=512,
                  else mesh_lib.replicate(lg_params, mesh))
     opt_state = optimizer.init(lg_params)
     sp_params = mesh_lib.replicate(sp_params, mesh)
+    hkw = {}
+    if warp_family != "similarity":
+        hkw["family"] = warp_family
+    if warp_family == "mixed":
+        hkw["pose_frac"] = pose_frac
     tstep = step.make_train_step(
         optimizer, max_keypoints=max_keypoints,
-        keypoint_threshold=0.0, remat=True)
+        keypoint_threshold=0.0, remat=True, homography_kwargs=hkw)
 
     corpus = load_image_dir(image_dir, size) if image_dir else None
     key = jax.random.PRNGKey(seed + 1)
@@ -255,6 +336,72 @@ def train_lightglue(steps=1000, batch=8, size=512, max_keypoints=512,
     save_tree_npz(out / "lightglue_final.npz", lg_params)
     log_fn(f"saved {out / 'lightglue_final.npz'}")
     return lg_params
+
+
+def train_loftr(steps=4000, batch=4, size=320, lr=3e-4, warmup=200,
+                n_fine=128, w_fine=0.25, image_dir=None, exclude=(),
+                eval_every=400, out="runs/loftr_homog", seed=0,
+                log_fn=print):
+    """LoFTR homography training (train/loftr.py): dense coarse
+    dual-softmax NLL + fine spatial-expectation l2 on random planar
+    warps of a real-photo corpus — the dense-tier analog of
+    ``train_lightglue``. Writes ``loftr_final.npz`` under ``out``;
+    the tree loads straight into the serving matcher via
+    ``conf["checkpoint_npz"]``."""
+    import optax
+
+    from ..models.matchers import loftr as lf
+    from . import loftr as lft
+
+    out = pathlib.Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    warmup = min(warmup, max(steps // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adamw(sched, weight_decay=1e-5))
+    params = lf.init_params(jax.random.PRNGKey(seed))
+    opt_state = optimizer.init(params)
+    tstep = lft.make_train_step(optimizer, h=size, w=size, batch=batch,
+                                n_fine=n_fine, w_fine=w_fine)
+
+    corpus = (load_image_corpus(image_dir, size, size, exclude=exclude)
+              if image_dir else None)
+    if corpus is not None:
+        log_fn(f"corpus: {corpus.shape[0]} images at {size}x{size}")
+    key = jax.random.PRNGKey(seed + 1)
+    eval_imgs = data.synthetic_images(
+        jax.random.PRNGKey(seed + 2), 4, size, size)
+    rng = np.random.default_rng(seed + 3)
+
+    log = open(out / "log.jsonl", "a")
+    t0 = time.time()
+    for it in range(steps):
+        key, ks = jax.random.split(key)
+        if corpus is not None:
+            idx = rng.integers(0, corpus.shape[0], size=batch)
+            images = jnp.asarray(corpus[idx])
+        else:
+            images = data.synthetic_images(ks, batch, size, size)
+        params, opt_state, m = tstep(params, opt_state, images, ks)
+        if it % 20 == 0 or it == steps - 1:
+            m = {k: round(float(v), 4) for k, v in m.items()}
+            m.update(step=it, sec=round(time.time() - t0, 1))
+            log_fn(json.dumps(m))
+            log.write(json.dumps(m) + "\n")
+            log.flush()
+        if eval_every and (it + 1) % eval_every == 0:
+            p, nm = lft.eval_precision(params, eval_imgs,
+                                       jax.random.PRNGKey(it))
+            rec = {"step": it, "eval_precision": round(p, 4),
+                   "eval_matches": round(nm, 1)}
+            log_fn(json.dumps(rec))
+            log.write(json.dumps(rec) + "\n")
+            log.flush()
+            save_tree_npz(out / f"loftr_{it + 1:06d}.npz", params)
+    save_tree_npz(out / "loftr_final.npz", params)
+    log_fn(f"saved {out / 'loftr_final.npz'}")
+    return params
 
 
 def train_superpoint(steps=5000, batch=8, size=160, lr=1e-4,

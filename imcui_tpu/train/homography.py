@@ -47,6 +47,94 @@ def sample_homographies(key, batch, w, h, max_angle=25.0,
     return jnp.stack([row0, row1, row2], 1)
 
 
+def sample_pose_homographies(key, batch, w, h, max_rot_deg=12.0,
+                             max_trans_frac=0.25, max_tilt_deg=12.0,
+                             min_trans_frac=0.08,
+                             return_components=False):
+    """(batch, 3, 3) plane-induced homographies of a CALIBRATED camera
+    pair: H = K(R + t·nᵀ/d)K⁻¹ for the scene plane n·X = d (view-0
+    frame) and X₁ = R·X₀ + t — the sign-explicit form of Hartley &
+    Zisserman §13.2, whose minus form assumes the nᵀX + d = 0 plane
+    convention. Pose/plane distributions follow
+    eval/synthpose.sample_scene. (Either sign yields correspondences
+    exactly consistent with E = [t]ₓR — plane-induced warps satisfy the
+    epipolar constraint for ANY plane — but the plus form also makes
+    the backproject→rigid-move→reproject chain physical, which the
+    planted-geometry test pins.)
+
+    This is the wide-baseline counterpart of ``sample_homographies``:
+    the similarity-family warps train in-plane invariance, but a real
+    relative pose induces foreshortening that family never produces —
+    the r5 pose-AUC diagnosis (BASELINE.md "Pose AUC") traced the
+    flagship's gap to exactly that missing viewpoint invariance. All
+    sampling is on-device so the training step stays one program."""
+    kr, ka, kt, kn, kd, kx = jax.random.split(key, 6)
+    f = 1.2 * max(w, h)
+    K = jnp.asarray([[f, 0.0, w / 2.0], [0.0, f, h / 2.0],
+                     [0.0, 0.0, 1.0]])
+    Kinv = jnp.linalg.inv(K)
+
+    # rotation: random axis, 3..max_rot_deg magnitude (Rodrigues)
+    angle = jax.random.uniform(kr, (batch,), minval=3.0,
+                               maxval=max_rot_deg) * (jnp.pi / 180.0)
+    axis = jax.random.normal(ka, (batch, 3))
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+
+    def rodrigues(ax, ang):
+        zero = jnp.zeros(())
+        Kx = jnp.array([[zero, -ax[2], ax[1]],
+                        [ax[2], zero, -ax[0]],
+                        [-ax[1], ax[0], zero]])
+        return (jnp.eye(3) + jnp.sin(ang) * Kx
+                + (1.0 - jnp.cos(ang)) * (Kx @ Kx))
+
+    R = jax.vmap(rodrigues)(axis, angle)
+
+    # translation: sideways-biased, scaled to scene depth 1.0
+    kt1, kt2 = jax.random.split(kt)
+    t = jax.random.normal(kt1, (batch, 3)) * jnp.asarray([1.0, 0.6, 0.4])
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    t = t * jax.random.uniform(kt2, (batch, 1), minval=min_trans_frac,
+                               maxval=max_trans_frac)
+
+    # scene plane: tilted z-normal, offset d ~ U[0.75, 1.35]
+    tilt = jax.random.uniform(kn, (batch,),
+                              maxval=max_tilt_deg) * (jnp.pi / 180.0)
+    taxis = jax.random.normal(kx, (batch, 2))
+    taxis = taxis / jnp.linalg.norm(taxis, axis=-1, keepdims=True)
+    taxis3 = jnp.concatenate([taxis, jnp.zeros((batch, 1))], -1)
+    n = jnp.einsum("bij,j->bi", jax.vmap(rodrigues)(taxis3, tilt),
+                   jnp.asarray([0.0, 0.0, 1.0]))
+    d = jax.random.uniform(kd, (batch, 1, 1), minval=0.75, maxval=1.35)
+
+    H = jnp.einsum("ij,bjk,kl->bil", K,
+                   R + t[:, :, None] * n[:, None, :] / d, Kinv)
+    H = H / H[:, 2:3, 2:3]
+    if return_components:
+        return H, {"K": K, "R": R, "t": t, "n": n, "d": d[:, 0, 0]}
+    return H
+
+
+def sample_warps(key, batch, w, h, family="similarity", pose_frac=0.5,
+                 **kwargs):
+    """Warp-family dispatch for the trainers: 'similarity' (the
+    published recipes' random similarity+perspective), 'pose' (the
+    plane-induced calibrated family), or 'mixed' — per-sample Bernoulli
+    between the two (viewpoint invariance without forgetting the
+    in-plane family)."""
+    if family == "similarity":
+        return sample_homographies(key, batch, w, h, **kwargs)
+    if family == "pose":
+        return sample_pose_homographies(key, batch, w, h, **kwargs)
+    if family == "mixed":
+        k1, k2, kb = jax.random.split(key, 3)
+        hs = sample_homographies(k1, batch, w, h)
+        hp = sample_pose_homographies(k2, batch, w, h, **kwargs)
+        pick = jax.random.bernoulli(kb, pose_frac, (batch,))
+        return jnp.where(pick[:, None, None], hp, hs)
+    raise ValueError(f"unknown warp family: {family}")
+
+
 def warp_points(H, pts):
     """Projective transform: pts (N, 2) xy → (N, 2) under H (3, 3)."""
     x = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], -1) @ H.T

@@ -113,7 +113,7 @@ def train_step(lg_params, opt_state, sp_params, images, key, *,
     """
     b, _, h, w = images.shape
     k_h, _ = jax.random.split(key)
-    Hs = homography.sample_homographies(
+    Hs = homography.sample_warps(
         k_h, b, w, h, **(homography_kwargs or {}))
     warped = homography.warp_images(images, Hs)
 

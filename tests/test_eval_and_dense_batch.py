@@ -159,3 +159,32 @@ def test_scene_info_conversion_and_api_glue(tmp_path, rng):
     assert set(res) >= {"auc@5", "auc@10", "auc@20", "median_err_deg",
                         "mean_matches", "errors"}
     assert res["mean_matches"] > 8  # textured roll-pair must match
+
+
+def test_match_images_mismatched_aspect(rng):
+    """Dense matchers stack/vmap both towers in one program, so two
+    views landing in DIFFERENT padding buckets must be padded to the
+    union canvas (caught driving the API on the real two-view pair,
+    r5). Portrait + landscape inputs through the full dense path."""
+    from imcui_tpu.models import matchers
+    from imcui_tpu.pipeline import match_dense
+    from imcui_tpu.utils.base_model import dynamic_load
+
+    conf = {
+        "model": {"name": "loftr", "max_keypoints": 64,
+                  "match_threshold": 0.0, "precision": "fp32"},
+        "preprocessing": {"grayscale": True, "resize_max": 96,
+                          "dfactor": 8},
+    }
+    model = dynamic_load(matchers, "loftr")(conf["model"])
+    img0 = (rng.rand(96, 64, 3) * 255).astype(np.uint8)   # portrait
+    img1 = (rng.rand(64, 96, 3) * 255).astype(np.uint8)   # landscape
+    pred = match_dense.match_images(model, img0, img1, conf)
+    k0 = np.asarray(pred["keypoints0_orig"])
+    k1 = np.asarray(pred["keypoints1_orig"])
+    assert k0.shape == k1.shape and k0.shape[-1] == 2
+    # keypoints must stay inside each ORIGINAL frame (the masks carry
+    # the valid sizes through the padded canvas)
+    if len(k0):
+        assert (k0[:, 0] <= 64).all() and (k0[:, 1] <= 96).all()
+        assert (k1[:, 0] <= 96).all() and (k1[:, 1] <= 64).all()

@@ -4,9 +4,14 @@ import numpy as np
 import pytest
 
 
-def test_lisrd_self_pair_identity(rng):
+def test_lisrd_self_pair_identity(rng, monkeypatch, tmp_path):
     from imcui_tpu.models.matchers.lisrd import Lisrd
 
+    # pin the random-init detector: the serving extractor auto-loads the
+    # locally trained SuperPoint (utils.weights.local_trained_npz),
+    # which correctly finds ~no corners in a noise image — this test
+    # checks self-pair identity mechanics, not detection quality
+    monkeypatch.setenv("IMCUI_WEIGHTS_DIR", str(tmp_path / "no_weights"))
     m = Lisrd({"max_keypoints": 128, "detector": "superpoint"})
     im = rng.rand(1, 1, 96, 128).astype(np.float32)
     out = m({"image0": im, "image1": im.copy()})

@@ -254,6 +254,125 @@ def test_lightglue_teacher_loads_local_npz(tmp_path):
         np.asarray(trained["conv1a"]["w"]))
 
 
+def test_pose_homography_matches_projective_chain():
+    """H = K(R − t·nᵀ/d)K⁻¹ must agree EXACTLY with the geometric
+    chain: backproject a pixel to the plane n·X = d, move it by the
+    rigid (R, t), reproject. Validates the wide-baseline warp family
+    against first principles (the same construction eval/synthpose
+    renders with)."""
+    Hs, comp = homography.sample_pose_homographies(
+        jax.random.PRNGKey(3), 6, 320, 240, return_components=True)
+    Hs = np.asarray(Hs)
+    K = np.asarray(comp["K"])
+    Kinv = np.linalg.inv(K)
+    pts = np.random.default_rng(4).uniform(
+        [40, 30], [280, 210], (20, 2))
+    for b in range(6):
+        R, t = np.asarray(comp["R"][b]), np.asarray(comp["t"][b])
+        n, d = np.asarray(comp["n"][b]), float(comp["d"][b])
+        ray = np.concatenate([pts, np.ones((20, 1))], 1) @ Kinv.T
+        depth = d / (ray @ n)
+        X1 = (ray * depth[:, None]) @ R.T + t
+        u1 = X1 @ K.T
+        u1 = u1[:, :2] / u1[:, 2:]
+        via_h = np.asarray(homography.warp_points(
+            jnp.asarray(Hs[b]), jnp.asarray(pts, jnp.float32)))
+        np.testing.assert_allclose(via_h, u1, atol=1e-2)
+
+
+def test_sample_warps_mixed_dispatch():
+    """'mixed' must draw from both families; 'similarity' must equal
+    the published sampler under the same key."""
+    k = jax.random.PRNGKey(5)
+    a = np.asarray(homography.sample_warps(k, 4, 320, 240,
+                                           family="similarity"))
+    b = np.asarray(homography.sample_homographies(k, 4, 320, 240))
+    np.testing.assert_array_equal(a, b)
+    m = np.asarray(homography.sample_warps(k, 64, 320, 240,
+                                           family="mixed"))
+    assert m.shape == (64, 3, 3)
+    assert np.isfinite(m).all()
+    with pytest.raises(ValueError):
+        homography.sample_warps(k, 2, 64, 64, family="nope")
+
+
+def test_loftr_coarse_gt_planted():
+    """Dense coarse labels under planted warps: identity maps every cell
+    to itself; an exact one-cell translation shifts the label grid."""
+    from imcui_tpu.train import loftr as lft
+
+    hc, wc = 6, 8
+    eye = jnp.eye(3)
+    j_gt, pos, proj = lft.coarse_gt(eye, hc, wc)
+    np.testing.assert_array_equal(np.asarray(j_gt), np.arange(hc * wc))
+    assert bool(np.asarray(pos).all())
+    # +8 px in x → partner is the next cell over; the last column's
+    # warped center leaves the margin and must be negative
+    T = jnp.asarray([[1.0, 0, 8.0], [0, 1, 0], [0, 0, 1]])
+    j_gt, pos, proj = lft.coarse_gt(T, hc, wc)
+    j = np.arange(hc * wc)
+    inner = (j % wc) < wc - 1
+    np.testing.assert_array_equal(np.asarray(j_gt)[inner], j[inner] + 1)
+    assert not np.asarray(pos)[~inner].any()
+    np.testing.assert_allclose(np.asarray(proj)[0], [12.0, 4.0])
+
+
+def test_loftr_train_step_decreases_loss():
+    """Eight AdamW steps on a fixed batch + fixed warps must reduce the
+    dense coarse NLL (dense-tier optimisation sanity bar)."""
+    import optax
+
+    from imcui_tpu.models.matchers import loftr as lf
+    from imcui_tpu.train import loftr as lft
+
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    params = lf.init_params(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    tstep = lft.make_train_step(opt, h=64, w=64, batch=2, n_fine=16)
+    imgs = data.synthetic_images(jax.random.PRNGKey(1), 2, 64, 64)
+    key = jax.random.PRNGKey(2)  # fixed key → fixed warps each step
+    hist = []
+    for _ in range(8):
+        params, opt_state, m = tstep(params, opt_state, imgs, key)
+        hist.append(float(m["loss"]))
+        assert np.isfinite(hist[-1])
+        assert float(m["n_pos"]) > 0
+    assert hist[-1] < hist[0] * 0.9, hist
+
+
+def test_loftr_trained_tree_roundtrips_into_serving(tmp_path):
+    """train loftr → save_tree_npz → load_params(checkpoint_npz=...) →
+    the serving forward reproduces the trained model exactly."""
+    import optax
+
+    from imcui_tpu.models.matchers import loftr as lf
+    from imcui_tpu.train import loftr as lft
+    from imcui_tpu.utils import weights as wutils
+
+    opt = optax.adamw(1e-3)
+    params = lf.init_params(jax.random.PRNGKey(3))
+    tstep = lft.make_train_step(opt, h=64, w=64, batch=1, n_fine=8)
+    params, _, _ = tstep(params, opt.init(params),
+                         data.synthetic_images(jax.random.PRNGKey(4),
+                                               1, 64, 64),
+                         jax.random.PRNGKey(5))
+
+    path = tmp_path / "loftr.npz"
+    wutils.save_tree_npz(path, params)
+    loaded, meta = lf.load_params({"checkpoint_npz": str(path)})
+    assert meta["pretrained"]
+
+    img = data.synthetic_images(jax.random.PRNGKey(6), 2, 64, 64)
+    img0, img1 = img[0].transpose(1, 2, 0), img[1].transpose(1, 2, 0)
+    wh = jnp.asarray([64, 64], jnp.int32)
+    conf = {"match_threshold": 0.0, "temperature": 0.1,
+            "max_matches": 32}
+    a = lf.forward_pair(params, img0, img1, wh, wh, conf)
+    b = lf.forward_pair(loaded, img0, img1, wh, wh, conf)
+    for k in ("keypoints0", "keypoints1", "scores"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_train_step_sharded_matches_single_device():
     """dp=2 × tp=2 on the virtual mesh reproduces the single-device
     update (same program, shardings only change placement)."""
