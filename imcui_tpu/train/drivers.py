@@ -279,10 +279,8 @@ def train_lightglue(steps=1000, batch=8, size=512, max_keypoints=512,
         max_keypoints=max_keypoints, lr=lr,
         sp_checkpoint_npz=sp_checkpoint_npz)
     if init_npz:
-        from ..models.matchers import lightglue as lg_mod
-        lg_params, _ = lg_mod.load_params(
-            {"checkpoint_npz": str(init_npz), "features": "superpoint",
-             "n_layers": n_layers})
+        from ..utils.weights import load_tree_npz
+        lg_params = load_tree_npz(init_npz, lg_params, "lightglue")
 
     n_dev = len(jax.devices())
     mesh = mesh_lib.make_mesh(n_dev, model_parallel=model_parallel)

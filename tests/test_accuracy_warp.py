@@ -25,6 +25,23 @@ IMG = "/root/reference/tests/data/02928139_3448003521.jpg"
 WEIGHTS = pathlib.Path(__file__).resolve().parents[1] / "weights"
 SP_TRAINED = WEIGHTS / "superpoint_adapted.npz"
 LG_TRAINED = WEIGHTS / "lightglue_selftrained.npz"
+LOFTR_TRAINED = WEIGHTS / "loftr_selftrained.npz"
+
+
+def _trained_loftr_conf():
+    """Locally trained dense matcher (homography training at 320 px —
+    weights/README.md): the dense-tier learned pipeline."""
+    return {
+        "matcher": {
+            "output": "matches-loftr",
+            "model": {"name": "loftr", "max_keypoints": 1024,
+                      "match_threshold": 0.2,
+                      "checkpoint_npz": str(LOFTR_TRAINED)},
+            "preprocessing": {"grayscale": True, "resize_max": 320,
+                              "dfactor": 8},
+        },
+        "dense": True, "standalone": True,
+    }
 
 
 def _trained_flagship_conf():
@@ -77,6 +94,9 @@ CASES = [
     # corpus; VERDICT r4 #1 "Done =" bar)
     ("superpoint_trained+lightglue_trained", _trained_flagship_conf,
      False, 0.85, 3.0),
+    # the learned dense tier: locally trained LoFTR (r5; measured
+    # held-out 0.999 recall / 0.33 px — weights/README.md)
+    ("loftr_trained", _trained_loftr_conf, False, 0.9, 2.0),
     # enrolled learned pipelines: the bar arms the moment a conversion
     # reports pretrained weights (VERDICT r2 #8)
     ("dog+sosnet+mnn",
@@ -111,7 +131,10 @@ def photo():
     CASES, ids=[c[0] for c in CASES])
 def test_warp_accuracy(name, conf_fn, needs_pretrained, min_recall,
                        max_err, photo):
-    if "_trained" in name and not SP_TRAINED.exists():
+    if name == "loftr_trained":
+        if not LOFTR_TRAINED.exists():
+            pytest.skip("locally trained loftr checkpoint not present")
+    elif "_trained" in name and not SP_TRAINED.exists():
         pytest.skip("locally trained checkpoint not present")
     if "lightglue_trained" in name and not LG_TRAINED.exists():
         pytest.skip("locally trained lightglue checkpoint not present")

@@ -1,4 +1,6 @@
-"""LoFTR contract tests (random-init weights)."""
+"""LoFTR contract tests — weight-agnostic invariants (shape contract,
+self-pair diagonal, valid-region masking), so they hold both at random
+init and under the auto-loaded locally trained checkpoint (r5)."""
 
 import numpy as np
 import pytest
